@@ -1,0 +1,27 @@
+"""tpufem — a TPU-native FEM sparse linear-algebra framework (JAX/XLA/Pallas).
+
+Built from scratch with the capabilities of the reference
+``sml2004/CUDA-powered-mesh-handling-and-Iterative-solvers`` (see SURVEY.md):
+batched element stiffness/mass/stress kernels for 1st/2nd-order tets, hexes,
+wedges and Kirchhoff shells; matrix-free and assembled (BSR/CSR) operators
+with deterministic scatter; constrained Krylov solvers; mesh topology
+extraction; mesh partitioning with multi-chip shard_map execution; and a
+hybrid direct+iterative subdomain solver.
+"""
+
+from .core import materials, voigt
+from .core.dtypes import Precision, default_precision, enable_x64
+from .core.materials import elasticity_matrix, kirchhoff_D_matrix, lame_parameters
+from .core.voigt import stress_tensor, stress_vector, von_mises
+from .elements import tables
+from .elements.tables import element_table, quadrature, shape_values
+from .elements import solid
+from .ops.scatter import ScatterPlan, element_dofs
+from .ops.operator import (MatrixFreeOperator, block_operator,
+                           diagonal_preconditioner, nodal_forces)
+from .solvers.constraints import Constraints
+from .solvers import cg as cg_module
+from .solvers.cg import cg, masked_cg
+from .utils import meshgen
+
+__version__ = "0.1.0"

@@ -1,0 +1,127 @@
+"""Conjugate-gradient family as single compiled lax.while_loop programs.
+
+Capability parity with the reference CG variants (solver/solver.py:144-229
+stable_conjugate_gradient_solver, :231-295 final_solver, :512-596
+constrained CG, :702-759 +RBE3, :766-812 Jacobi PCG) — but the whole Krylov
+loop is one XLA program: no per-iteration device->host sync, residual
+telemetry is returned as an on-device history array, and the same early-exit
+guards (non-SPD curvature, NaN/Inf) live inside the loop as status codes.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .constraints import Constraints
+
+# Status codes (match reference early-exit semantics, solver/solver.py:96-124)
+RUNNING = 0
+CONVERGED = 1
+MAX_ITER = 2
+NOT_SPD = 3
+NAN_INF = 4
+
+
+class SolveInfo(NamedTuple):
+    status: jnp.ndarray          # int32 code
+    iterations: jnp.ndarray      # int32
+    residual_norm: jnp.ndarray   # final ||r||
+    history: jnp.ndarray         # [max_iter+1] ||r|| per iter (inf padded)
+
+
+def _noop_project(r):
+    return r
+
+
+def _noop_state(u):
+    return u
+
+
+def cg(A: Callable, b, *, constraints: Optional[Constraints] = None,
+       M_inv=None, x0=None, tol: float = 1e-10, max_iter: int = 1000,
+       eps: float = 1e-30, record_history: bool = True):
+    """(P)CG on A u = b with constraint projection inside the loop.
+
+    Args:
+      A: linear operator, u -> A(u), same pytree/array shape as b.
+      b: right-hand side [N, nd].
+      constraints: optional Constraints; enforced like the reference
+        (state set + residual projection after init and every update).
+      M_inv: optional Jacobi preconditioner array broadcastable to b.
+      tol: absolute tolerance on ||r|| (reference semantics).
+    Returns:
+      (u, SolveInfo)
+    """
+    dtype = b.dtype
+    project = constraints.project_residual if constraints else _noop_project
+    set_state = constraints.apply_state if constraints else _noop_state
+
+    u0 = jnp.zeros_like(b) if x0 is None else x0.astype(dtype)
+    u0 = set_state(u0)
+    r0 = project(b - A(u0))
+    z0 = r0 * M_inv if M_inv is not None else r0
+    p0 = z0
+    rz0 = jnp.vdot(r0, z0)
+
+    hist_len = max_iter + 1 if record_history else 1
+    hist0 = jnp.full((hist_len,), jnp.inf, dtype=dtype)
+    r0norm = jnp.sqrt(jnp.vdot(r0, r0).real)
+    if record_history:
+        hist0 = hist0.at[0].set(r0norm)
+    status0 = jnp.where(r0norm < tol, CONVERGED, RUNNING).astype(jnp.int32)
+
+    def cond(s):
+        i, u, r, p, rz, status, hist = s
+        return (i < max_iter) & (status == RUNNING)
+
+    def body(s):
+        i, u, r, p, rz, status, hist = s
+        Ap = A(p)
+        pAp = jnp.vdot(p, Ap)
+        bad_curv = (jnp.abs(pAp) < eps) | (pAp < 0.0)
+        alpha = rz / (pAp + eps)
+        bad_alpha = jnp.isnan(alpha) | jnp.isinf(alpha)
+
+        u1 = set_state(u + alpha * p)
+        r1 = project(r - alpha * Ap)
+        z1 = r1 * M_inv if M_inv is not None else r1
+        rz1 = jnp.vdot(r1, z1)
+        rnorm = jnp.sqrt(jnp.vdot(r1, r1).real)
+        beta = rz1 / (rz + eps)
+        bad_beta = jnp.isnan(beta) | jnp.isinf(beta)
+        p1 = project(z1 + beta * p)
+
+        new_status = jnp.where(
+            bad_curv, NOT_SPD,
+            jnp.where(bad_alpha | bad_beta, NAN_INF,
+                      jnp.where(rnorm < tol, CONVERGED, RUNNING))).astype(jnp.int32)
+        # On a bad step keep the previous iterate (reference breaks pre-update
+        # for bad curvature/alpha).
+        take = (new_status != NOT_SPD) & ~bad_alpha
+        u1 = jnp.where(take, u1, u)
+        r1 = jnp.where(take, r1, r)
+        p1 = jnp.where(take, p1, p)
+        rz1 = jnp.where(take, rz1, rz)
+        if record_history:
+            hist = hist.at[i + 1].set(jnp.where(take, rnorm, hist[i]))
+        return (i + 1, u1, r1, p1, rz1, new_status, hist)
+
+    init = (jnp.int32(0), u0, r0, p0, rz0, status0, hist0)
+    i, u, r, p, rz, status, hist = jax.lax.while_loop(cond, body, init)
+    status = jnp.where(status == RUNNING, MAX_ITER, status)
+    rnorm = jnp.sqrt(jnp.vdot(r, r).real)
+    return u, SolveInfo(status, i, rnorm, hist)
+
+
+def masked_cg(A: Callable, b, mask, **kw):
+    """CG with a 0/1 mask instead of index assignment — the autograd-friendly
+    variant (reference final_solver, solver/solver.py:231-295)."""
+    class _MaskConstraint:
+        def project_residual(self, r):
+            return r * mask
+        def apply_state(self, u):
+            return u * mask
+    return cg(A, b, constraints=_MaskConstraint(), **kw)
