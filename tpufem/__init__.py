@@ -19,6 +19,10 @@ from .elements import solid
 from .ops.scatter import ScatterPlan, element_dofs
 from .ops.operator import (MatrixFreeOperator, block_operator,
                            diagonal_preconditioner, nodal_forces)
+from .topology import convert as topo_convert
+from .topology import diagnostics as topo_diagnostics
+from .topology import edges as topo_edges
+from .topology import faces as topo_faces
 from .solvers.constraints import Constraints
 from .solvers import cg as cg_module
 from .solvers.cg import cg, masked_cg
