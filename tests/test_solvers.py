@@ -1,0 +1,182 @@
+"""Static driver, BiCGStab, GMRES, Newton-Raphson, modal solvers."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+from tpufem.elements import solid
+from tpufem.ops.operator import MatrixFreeOperator
+from tpufem.ops.scatter import ScatterPlan, element_dofs
+from tpufem.solvers import cg as cgmod
+from tpufem.solvers import modal as modal_mod
+from tpufem.solvers.bicgstab import bicgstab
+from tpufem.solvers.cg import cg
+from tpufem.solvers.constraints import Constraints
+from tpufem.solvers.gmres import gmres
+from tpufem.solvers.newton import newton_raphson
+from tpufem.solvers.static import build_static_model, static_structure_solver
+from tpufem.utils import meshgen
+
+E, NU = 200.0, 0.3
+MAT = {"E": E, "nu": NU, "membrane": (E, NU, 0.05), "bending": (E, NU, 0.05)}
+
+
+def _tet_problem(n=2):
+    coords, conn = meshgen.box_tet(n, n, n)
+    K = solid.stiffness(jnp.asarray(coords), jnp.asarray(conn), "c3d4", E, NU)
+    plan = ScatterPlan.build(conn, coords.shape[0], 3)
+    return coords, conn, MatrixFreeOperator(K=K, plan=plan)
+
+
+def _direct_solution(K, conn, coords, fixed, b):
+    N = coords.shape[0]
+    dofs = element_dofs(conn, 3)
+    d = dofs.shape[1]
+    rows = np.repeat(dofs, d, axis=1).ravel()
+    cols = np.tile(dofs, (1, d)).ravel()
+    A = sp.coo_matrix((np.asarray(K).ravel(), (rows, cols)),
+                      shape=(N * 3, N * 3)).tocsr()
+    mask = np.ones(N * 3, bool)
+    for n in fixed:
+        mask[3 * n:3 * n + 3] = False
+    ured = spla.spsolve(A[mask][:, mask].tocsc(), b.reshape(-1)[mask])
+    full = np.zeros(N * 3)
+    full[mask] = ured
+    return full.reshape(N, 3)
+
+
+@pytest.fixture(scope="module")
+def tet_fixture():
+    coords, conn, op = _tet_problem(2)
+    N = coords.shape[0]
+    fixed = meshgen.boundary_nodes(coords, axis=2, value=0.0)
+    cons = Constraints.fixed(N, fixed, 3)
+    b = np.zeros((N, 3))
+    b[meshgen.boundary_nodes(coords, axis=2, value=1.0), 0] = 0.02
+    u_ref = _direct_solution(op.K, conn, coords, fixed, b)
+    return coords, conn, op, cons, b, u_ref
+
+
+def test_bicgstab_matches_direct(tet_fixture):
+    coords, conn, op, cons, b, u_ref = tet_fixture
+    u, info = bicgstab(op, jnp.asarray(b), constraints=cons, tol=1e-12,
+                       max_iter=2000)
+    assert int(info.status) == cgmod.CONVERGED
+    np.testing.assert_allclose(np.asarray(u), u_ref, rtol=1e-5,
+                               atol=1e-8 * np.abs(u_ref).max())
+
+
+def test_gmres_matches_direct(tet_fixture):
+    coords, conn, op, cons, b, u_ref = tet_fixture
+    u, info = gmres(op, jnp.asarray(b), constraints=cons, tol=1e-10,
+                    max_iter=400, restart=40)
+    assert int(info.status) == cgmod.CONVERGED
+    np.testing.assert_allclose(np.asarray(u), u_ref, rtol=1e-5,
+                               atol=1e-8 * np.abs(u_ref).max())
+
+
+def test_newton_linear_converges_one_step(tet_fixture):
+    coords, conn, op, cons, b, u_ref = tet_fixture
+    u, info = newton_raphson(lambda u: op, jnp.asarray(b), constraints=cons,
+                             tol=1e-9, inner_tol=1e-12, inner_max_iter=2000)
+    assert info.converged
+    assert info.iterations <= 3  # linear problem: 1 solve + verification
+    np.testing.assert_allclose(np.asarray(u), u_ref, rtol=1e-5,
+                               atol=1e-8 * np.abs(u_ref).max())
+
+
+def test_static_structure_solver_solid_matches_direct(tet_fixture):
+    coords, conn, op, cons, b, u_ref = tet_fixture
+    N = coords.shape[0]
+    fixed = meshgen.boundary_nodes(coords, axis=2, value=0.0)
+    force = np.zeros((N, 6))
+    force[:, :3] = b
+    u, info = static_structure_solver(coords, force, fixed, c3d4=conn,
+                                      material=MAT, tol=1e-11, max_iter=3000)
+    assert int(info.status) == cgmod.CONVERGED
+    np.testing.assert_allclose(np.asarray(u[:, :3]), u_ref, rtol=1e-5,
+                               atol=1e-8 * np.abs(u_ref).max())
+    np.testing.assert_allclose(np.asarray(u[:, 3:]), 0.0, atol=1e-14)
+
+
+def test_static_structure_solver_mixed_solid_shell():
+    """Solids + shells in one assembly: solve runs and couples both."""
+    coords, tets = meshgen.box_tet(2, 2, 1, 1.0, 1.0, 0.5)
+    # put a quad shell skin on the top face (nodes at z=0.5)
+    top = meshgen.boundary_nodes(coords, 2, 0.5)
+    # build quads from the structured grid on top: reuse grid_quad pattern
+    n = 2
+    top_sorted = top[np.lexsort((coords[top, 1], coords[top, 0]))]
+    grid = top_sorted.reshape(n + 1, n + 1)
+    quads = []
+    for i in range(n):
+        for j in range(n):
+            quads.append([grid[i, j], grid[i + 1, j], grid[i + 1, j + 1],
+                          grid[i, j + 1]])
+    quads = np.asarray(quads, np.int32)
+    N = coords.shape[0]
+    fixed = meshgen.boundary_nodes(coords, 2, 0.0)
+    force = np.zeros((N, 6))
+    force[top, 0] = 0.01
+    u, info = static_structure_solver(coords, force, fixed, c3d4=tets,
+                                      s4=quads, material=MAT, tol=1e-10,
+                                      max_iter=4000)
+    assert int(info.status) == cgmod.CONVERGED
+    u = np.asarray(u)
+    assert np.abs(u[top, 0]).min() > 0  # moved with the load
+    # compare against solid-only: shell skin must stiffen the response
+    u2, _ = static_structure_solver(coords, force, fixed, c3d4=tets,
+                                    material=MAT, tol=1e-10, max_iter=4000)
+    assert np.abs(u[top, 0]).max() < np.abs(np.asarray(u2)[top, 0]).max()
+
+
+def test_modal_solver_matches_scipy():
+    coords, conn, op = _tet_problem(2)
+    N = coords.shape[0]
+    fixed = meshgen.boundary_nodes(coords, 2, 0.0)
+    cons = Constraints.fixed(N, fixed, 3)
+    rho = 5.0
+    Mloc = solid.mass(jnp.asarray(coords), jnp.asarray(conn), "c3d4", rho)
+    Mdiag = modal_mod.lumped_mass_diagonal(Mloc, op.plan)
+
+    lam, modes, _ = modal_mod.modal_solver(op, Mdiag, (N, 3), num_eigs=4,
+                                           constraints=cons, max_iter=12,
+                                           inner_tol=1e-12,
+                                           inner_max_iter=2000)
+    # scipy reference on reduced system
+    dofs = element_dofs(conn, 3)
+    d = dofs.shape[1]
+    rows = np.repeat(dofs, d, axis=1).ravel()
+    cols = np.tile(dofs, (1, d)).ravel()
+    A = sp.coo_matrix((np.asarray(op.K).ravel(), (rows, cols)),
+                      shape=(N * 3, N * 3)).tocsr()
+    mask = np.ones(N * 3, bool)
+    for n in fixed:
+        mask[3 * n:3 * n + 3] = False
+    Ared = A[mask][:, mask]
+    Mred = sp.diags(np.asarray(Mdiag)[mask])
+    w_ref = spla.eigsh(Ared, k=4, M=Mred, sigma=0, which="LM",
+                       return_eigenvectors=False)
+    w_ref = np.sort(w_ref)
+    np.testing.assert_allclose(np.sort(np.asarray(lam)), w_ref, rtol=1e-4)
+    # mode shapes are zero on fixed nodes
+    md = np.asarray(modes).reshape(N, 3, -1)
+    np.testing.assert_allclose(md[fixed], 0.0, atol=1e-10)
+
+
+def test_naive_modal_solver_runs():
+    """Reference-parity naive iteration: runs, returns k eigenpairs."""
+    coords, conn, op = _tet_problem(1)
+    N = coords.shape[0]
+    fixed = meshgen.boundary_nodes(coords, 2, 0.0)
+    fixed_dofs = (np.asarray(fixed)[:, None] * 3 + np.arange(3)).reshape(-1)
+    rho = 5.0
+    Mloc = solid.mass(jnp.asarray(coords), jnp.asarray(conn), "c3d4", rho)
+    Mdiag = modal_mod.lumped_mass_diagonal(Mloc, op.plan)
+    lam, modes = modal_mod.naive_modal_solver(op, Mdiag, (N, 3), num_eigs=3,
+                                              fixed_dofs=fixed_dofs,
+                                              max_iter=10)
+    assert lam.shape == (3,) and modes.shape == (N * 3, 3)
+    assert bool(jnp.all(jnp.isfinite(lam)))

@@ -24,8 +24,18 @@ from .topology import diagnostics as topo_diagnostics
 from .topology import edges as topo_edges
 from .topology import faces as topo_faces
 from .solvers.constraints import Constraints
+from .elements import shell
+from .elements.shell import (ShellOperator, local_frames, shell_nodal_forces,
+                             shell_postprocess_values, shell_stiffness,
+                             shell_stress)
 from .solvers import cg as cg_module
 from .solvers.cg import cg, masked_cg
+from .solvers.bicgstab import bicgstab
+from .solvers.gmres import gmres
+from .solvers.newton import newton_raphson
+from .solvers import modal
+from .solvers.modal import lumped_mass_diagonal, modal_solver, naive_modal_solver
+from .solvers.static import StaticModel, build_static_model, static_structure_solver
 from .utils import meshgen
 
 __version__ = "0.1.0"
