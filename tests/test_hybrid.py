@@ -1,0 +1,76 @@
+"""Hybrid subdomain (Schur substructuring) solver vs direct solve."""
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+from tpufem.elements import solid
+from tpufem.ops.scatter import element_dofs
+from tpufem.solvers import cg as cgmod
+from tpufem.solvers.hybrid import build_hybrid, hybrid_solve
+from tpufem.utils import meshgen
+
+E, NU = 200.0, 0.3
+
+
+def _direct(coords, conn, fixed, b):
+    N = coords.shape[0]
+    K = np.asarray(solid.stiffness(jnp.asarray(coords), jnp.asarray(conn),
+                                   "c3d4", E, NU))
+    dofs = element_dofs(conn, 3)
+    d = dofs.shape[1]
+    rows = np.repeat(dofs, d, axis=1).ravel()
+    cols = np.tile(dofs, (1, d)).ravel()
+    A = sp.coo_matrix((K.ravel(), (rows, cols)), shape=(N * 3, N * 3)).tocsr()
+    mask = np.ones(N * 3, bool)
+    for n in fixed:
+        mask[3 * n:3 * n + 3] = False
+    u = np.zeros(N * 3)
+    u[mask] = spla.spsolve(A[mask][:, mask].tocsc(), b.reshape(-1)[mask])
+    return u.reshape(N, 3)
+
+
+def test_hybrid_matches_direct():
+    coords, conn = meshgen.box_tet(3, 3, 3)
+    N = coords.shape[0]
+    fixed = meshgen.boundary_nodes(coords, 2, 0.0)
+    b = np.zeros((N, 3))
+    b[meshgen.boundary_nodes(coords, 2, 1.0), 0] = 0.02
+    u, info = hybrid_solve(coords, conn, "c3d4", E, NU, b, n_parts=4,
+                           fixed_nodes=fixed, tol=1e-12, max_iter=500)
+    assert int(info.status) == cgmod.CONVERGED
+    u_ref = _direct(coords, conn, fixed, b)
+    np.testing.assert_allclose(np.asarray(u), u_ref, rtol=1e-7,
+                               atol=1e-10 * np.abs(u_ref).max())
+
+
+def test_hybrid_interface_cg_is_cheap():
+    """Interface CG converges in far fewer iterations than plain CG dofs."""
+    coords, conn = meshgen.box_tet(3, 3, 6, 1, 1, 2)
+    N = coords.shape[0]
+    fixed = meshgen.boundary_nodes(coords, 2, 0.0)
+    b = np.zeros((N, 3))
+    b[meshgen.boundary_nodes(coords, 2, 2.0), 2] = -1.0
+    u, info = hybrid_solve(coords, conn, "c3d4", E, NU, b, n_parts=2,
+                           fixed_nodes=fixed, tol=1e-11, max_iter=500)
+    assert int(info.status) == cgmod.CONVERGED
+    sys_ = build_hybrid(coords, conn, "c3d4", E, NU, 2, fixed_nodes=fixed)
+    # outer iterations bounded by interface dof count
+    assert int(info.iterations) <= sys_.meta.n_interface * 3
+    u_ref = _direct(coords, conn, fixed, b)
+    np.testing.assert_allclose(np.asarray(u), u_ref, rtol=1e-6,
+                               atol=1e-9 * np.abs(u_ref).max())
+
+
+def test_hybrid_single_part_degenerates_to_direct():
+    """n_parts=1: everything except fixed nodes is interior -> 1 iteration."""
+    coords, conn = meshgen.box_tet(2, 2, 2)
+    N = coords.shape[0]
+    fixed = meshgen.boundary_nodes(coords, 2, 0.0)
+    b = np.zeros((N, 3))
+    b[meshgen.boundary_nodes(coords, 2, 1.0), 1] = 1.0
+    u, info = hybrid_solve(coords, conn, "c3d4", E, NU, b, n_parts=1,
+                           fixed_nodes=fixed, tol=1e-12, max_iter=200)
+    u_ref = _direct(coords, conn, fixed, b)
+    np.testing.assert_allclose(np.asarray(u), u_ref, rtol=1e-8,
+                               atol=1e-10 * np.abs(u_ref).max())

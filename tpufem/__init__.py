@@ -36,6 +36,14 @@ from .solvers.newton import newton_raphson
 from .solvers import modal
 from .solvers.modal import lumped_mass_diagonal, modal_solver, naive_modal_solver
 from .solvers.static import StaticModel, build_static_model, static_structure_solver
+from .ops import assembly
+from .ops.assembly import BSRMatrix, assemble_bsr, bsr_matvec, build_bsr_structure
+from .solvers.hybrid import HybridSystem, build_hybrid, hybrid_solve
+from .parallel import dist, partition
+from .parallel.dist import DistFEM, DistPartition, build_distributed_fem
+from .io import vtk as vtk_io
+from .io import h5 as h5_io
 from .utils import meshgen
+from .utils.format import human_readable_number
 
 __version__ = "0.1.0"

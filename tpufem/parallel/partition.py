@@ -1,0 +1,114 @@
+"""Host-side mesh partitioning: dual graph, distant seeds, region growing.
+
+Semantics of subdivision.ipynb cells 7-9 (compute_subdivisions,
+build_adjacency_matrix, pick_distant_seeds, region_growing_partition),
+reimplemented with scipy.sparse BFS on host — run once at setup; the
+device never sees dynamic shapes.  Deterministic: seeded RNG + ordered
+tie-breaking (the notebook used torch.randint without a fixed seed).
+"""
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import numpy as np
+import scipy.sparse as sp
+
+
+def compute_subdivisions(matrix_size: int, memory_gb: float,
+                         bytes_per_float: int = 4) -> int:
+    """#partitions heuristic from a dense-memory budget
+    (subdivision.ipynb cell 7)."""
+    max_elems = memory_gb * (1024**3) // bytes_per_float
+    max_dim = int(math.floor(math.sqrt(max_elems)))
+    return int(math.ceil(matrix_size / max_dim))
+
+
+def build_adjacency(edge: np.ndarray, n: int) -> sp.csr_matrix:
+    """Symmetric boolean adjacency from a [2, E] edge list."""
+    e = np.asarray(edge)
+    rows = np.concatenate([e[0], e[1]])
+    cols = np.concatenate([e[1], e[0]])
+    data = np.ones(rows.shape[0], dtype=bool)
+    return sp.csr_matrix((data, (rows, cols)), shape=(n, n))
+
+
+def _bfs_distances(adj: sp.csr_matrix, sources: np.ndarray) -> np.ndarray:
+    n = adj.shape[0]
+    dist = np.full(n, np.iinfo(np.int64).max)
+    frontier = np.zeros(n, dtype=bool)
+    frontier[sources] = True
+    d = 0
+    while frontier.any():
+        newly = frontier & (dist == np.iinfo(np.int64).max)
+        dist[newly] = d
+        frontier = (adj @ frontier) & (dist == np.iinfo(np.int64).max)
+        d += 1
+    return dist
+
+
+def pick_distant_seeds(adj: sp.csr_matrix, n_parts: int,
+                       seed: int = 0) -> np.ndarray:
+    """Greedy farthest-point BFS seeding (subdivision.ipynb cell 9)."""
+    rng = np.random.default_rng(seed)
+    n = adj.shape[0]
+    seeds = [int(rng.integers(n))]
+    for _ in range(n_parts - 1):
+        dist = _bfs_distances(adj, np.asarray(seeds))
+        # unreachable components first, then true farthest (stable argmax)
+        seeds.append(int(np.argmax(np.where(dist == np.iinfo(np.int64).max,
+                                            -1, dist))))
+    return np.asarray(seeds)
+
+
+def region_growing_partition(edge: np.ndarray, n_parts: int, n_elements: int,
+                             seed: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+    """Multi-source BFS labels [M] + the seeds (subdivision.ipynb cell 9).
+
+    Ties (element reachable from several fronts in the same sweep) resolve
+    to the lowest part id — fixed, reproducible ordering.
+    """
+    adj = build_adjacency(edge, n_elements)
+    seeds = pick_distant_seeds(adj, n_parts, seed)
+    labels = np.full(n_elements, -1, dtype=np.int64)
+    labels[seeds] = np.arange(n_parts)
+    frontier = np.zeros((n_parts, n_elements), dtype=bool)
+    frontier[np.arange(n_parts), seeds] = True
+    while (labels == -1).any():
+        expanded = np.zeros_like(frontier)
+        for p in range(n_parts):
+            expanded[p] = (adj @ frontier[p]) & (labels == -1)
+        if not expanded.any():
+            # disconnected leftovers: assign to the smallest part
+            left = np.nonzero(labels == -1)[0]
+            sizes = np.bincount(labels[labels >= 0], minlength=n_parts)
+            labels[left] = int(np.argmin(sizes))
+            break
+        # lowest part id wins contested elements
+        winner = np.argmax(expanded, axis=0)
+        claimed = expanded.any(axis=0)
+        labels[claimed] = winner[claimed]
+        frontier = expanded & (labels[None, :] == np.arange(n_parts)[:, None])
+    return labels, seeds
+
+
+def partition_elements(conn, etype: str, n_parts: int,
+                       seed: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+    """Labels [M] for any solid mesh via its shared-face dual graph."""
+    from ..topology.faces import element_dual_graph
+
+    edge = element_dual_graph(np.asarray(conn), etype)
+    return region_growing_partition(edge, n_parts, np.asarray(conn).shape[0],
+                                    seed)
+
+
+def owner_of_nodes(conn, labels, n_nodes: int) -> np.ndarray:
+    """Node -> part ownership: the smallest part id among adjacent elements
+    (deterministic; interface nodes get the lower-numbered side)."""
+    conn = np.asarray(conn)
+    owner = np.full(n_nodes, np.iinfo(np.int64).max)
+    lab = np.repeat(np.asarray(labels), conn.shape[1])
+    np.minimum.at(owner, conn.reshape(-1), lab)
+    # isolated nodes -> part 0
+    owner[owner == np.iinfo(np.int64).max] = 0
+    return owner
