@@ -54,7 +54,10 @@ class ScatterPlan:
     def build(conn, n_nodes: int, dof_per_node: int = 3) -> "ScatterPlan":
         dofs = element_dofs(conn, dof_per_node)
         flat = dofs.reshape(-1)
-        perm = np.argsort(flat, kind="stable").astype(np.int32)
+        from .. import native
+        perm = native.radix_argsort(flat)
+        if perm is None:
+            perm = np.argsort(flat, kind="stable").astype(np.int32)
         segments = flat[perm]
         return ScatterPlan(
             dofs=jnp.asarray(dofs),

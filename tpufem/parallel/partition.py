@@ -34,6 +34,15 @@ def build_adjacency(edge: np.ndarray, n: int) -> sp.csr_matrix:
 
 
 def _bfs_distances(adj: sp.csr_matrix, sources: np.ndarray) -> np.ndarray:
+    from .. import native
+
+    nat = native.bfs_distances(adj.indptr.astype(np.int64),
+                               adj.indices.astype(np.int32),
+                               np.asarray(sources, np.int32))
+    if nat is not None:
+        nat = nat.copy()
+        nat[nat < 0] = np.iinfo(np.int64).max
+        return nat
     n = adj.shape[0]
     dist = np.full(n, np.iinfo(np.int64).max)
     frontier = np.zeros(n, dtype=bool)
@@ -68,8 +77,15 @@ def region_growing_partition(edge: np.ndarray, n_parts: int, n_elements: int,
     Ties (element reachable from several fronts in the same sweep) resolve
     to the lowest part id — fixed, reproducible ordering.
     """
+    from .. import native
+
     adj = build_adjacency(edge, n_elements)
     seeds = pick_distant_seeds(adj, n_parts, seed)
+    nat = native.region_grow(adj.indptr.astype(np.int64),
+                             adj.indices.astype(np.int32),
+                             np.asarray(seeds, np.int32), n_parts)
+    if nat is not None:
+        return nat, seeds
     labels = np.full(n_elements, -1, dtype=np.int64)
     labels[seeds] = np.arange(n_parts)
     frontier = np.zeros((n_parts, n_elements), dtype=bool)

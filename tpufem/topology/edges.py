@@ -24,8 +24,14 @@ def element_to_edge(conn, etype: str = "c3d4"):
 
     Parity: reference element_to_edge (solver/element.py:2687-2713).
     """
+    from .. import native
+
     conn = np.asarray(conn)
     table = _EDGE_TABLES[etype.lower()]
+    nat = native.unique_edges(conn, table)
+    if nat is not None:
+        order = np.lexsort((nat[:, 1], nat[:, 0]))
+        return nat[order].T.copy()
     edges = conn[:, table].reshape(-1, 2)
     edges = np.sort(edges, axis=1)
     uniq = np.unique(edges, axis=0)

@@ -70,15 +70,22 @@ def boundary_faces(conn, etype: str):
 
     Returns a dict {face_kind: (faces [K,fk], opposite_node [K])} with kinds
     "tri"/"quad".  Parity: compute_tetrahedral_surface_faces_with_fourth_node
-    (solver/element.py:543), hex :1293, wedge :2234.
+    (solver/element.py:543), hex :1293, wedge :2234.  Uses the native hash
+    extractor when available (same element-major emission order).
     """
+    from .. import native
+
     conn = np.asarray(conn)
     out: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
     for table, opp in _face_tables(etype):
+        kind = "tri" if table.shape[1] == 3 else "quad"
+        nat = native.extract_faces(conn, table, opp)
+        if nat is not None:
+            out[kind] = (nat[0], nat[1])
+            continue
         faces = conn[:, table].reshape(-1, table.shape[1])
         opposite = conn[:, opp].reshape(-1)
         mask = _boundary_mask(faces)
-        kind = "tri" if table.shape[1] == 3 else "quad"
         out[kind] = (faces[mask], opposite[mask])
     return out
 
@@ -140,11 +147,28 @@ def shared_faces(conn, etype: str):
     table order above).  Parity: identify_tetrahedral_shared_faces
     (solver/element.py:707-762) and hex variant :1474-1532.
     """
+    from .. import native
+
     conn = np.asarray(conn)
     M = conn.shape[0]
+    tables = _face_tables(etype)
+    if len(tables) == 1:
+        nat = native.extract_faces(conn, tables[0][0], tables[0][1])
+        if nat is not None:
+            return _canonical_shared_order(nat[2])
+    else:
+        nats = [native.extract_faces(conn, t, o) for t, o in tables]
+        if all(n is not None for n in nats):
+            parts, base = [], 0
+            for (t, _), n in zip(tables, nats):
+                sf = n[2].copy()
+                sf[:, :, 1] += base
+                parts.append(sf)
+                base += t.shape[0]
+            return _canonical_shared_order(np.concatenate(parts, axis=0))
     all_keys, elem_ids, face_ids = [], [], []
     base = 0
-    for table, _ in _face_tables(etype):
+    for table, _ in tables:
         nf, fk = table.shape
         faces = conn[:, table]                             # [M,nf,fk]
         key = np.sort(faces.reshape(-1, fk), axis=1)
@@ -171,7 +195,16 @@ def shared_faces(conn, etype: str):
         np.stack([elem_s[pos], face_s[pos]], axis=1),
         np.stack([elem_s[pos + 1], face_s[pos + 1]], axis=1),
     ], axis=1)
-    return pair
+    return _canonical_shared_order(pair)
+
+
+def _canonical_shared_order(pair: np.ndarray) -> np.ndarray:
+    """Sort shared-face pairs by (elem1, face1) so the native and numpy
+    extraction paths produce identical arrays."""
+    if pair.shape[0] == 0:
+        return pair
+    order = np.lexsort((pair[:, 0, 1], pair[:, 0, 0]))
+    return pair[order]
 
 
 def node_curvatures(coords, conn, etype: str):
