@@ -1,0 +1,113 @@
+"""Partial-assembly (geometry-factor) matrix-free operator.
+
+The reference's SpMV streams the full per-element stiffness each iteration
+(d^2 floats/element, solver/element.py:429-464).  On TPU the SpMV is HBM
+bandwidth-bound, so this operator stores only the quadrature geometry
+(J^-1 and w*detJ — 10 floats per integration point, or a single set for
+affine elements) and recomputes the stiffness action on the fly:
+
+    eps  = sym(J^-T dNhat^T u_e)            per ip   (ref-coord gradients)
+    sig  = lam tr(eps) I + 2 mu eps                  (isotropic)
+    F_e += w detJ dNhat J^-1 sig                     (B^T sig without B)
+
+Identical result to the assembled-K operator (tested to fp tolerance) at
+~d^2/10q times less memory traffic — 22x for c3d10/4ip — which is the
+difference between HBM-bound and compute-light.  This is the classic
+high-order matrix-free factorization (cf. MFEM/libCEED), mapped to XLA as
+three batched einsums the compiler fuses.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.materials import lame_parameters
+from ..elements.solid import det3x3, inv3x3, jacobians
+from ..elements.tables import ElementTable, element_table
+from .scatter import ScatterPlan
+
+
+@jax.tree_util.register_static
+@dataclasses.dataclass(frozen=True)
+class _PAMeta:
+    etype: str
+    lam: float
+    mu: float
+    affine: bool
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PartialAssemblyOperator:
+    """u[N,3] -> F[N,3], geometry-factor form (isotropic material)."""
+
+    Jinv: jnp.ndarray    # [M, q, 3, 3] or [M, 1, 3, 3] (affine)
+    W: jnp.ndarray       # [M, q] w * detJ
+    conn: jnp.ndarray    # [M, k]
+    dN: jnp.ndarray      # [q, k, 3] reference-gradient table
+    plan: ScatterPlan
+    meta: _PAMeta
+
+    @staticmethod
+    def build(coords, conn, etype: str, E: float, nu: float,
+              rule: str = "default", plan: Optional[ScatterPlan] = None,
+              affine: Optional[bool] = None, dtype=None,
+              table: Optional[ElementTable] = None) -> "PartialAssemblyOperator":
+        table = table or element_table(etype, rule)
+        dtype = dtype or coords.dtype
+        conn_j = jnp.asarray(np.asarray(conn))
+        J = jacobians(jnp.asarray(coords, dtype), conn_j, table, dtype)
+        detJ = det3x3(J)
+        Jinv = inv3x3(J, detJ)
+        W = jnp.asarray(table.weights, dtype)[None, :] * detJ
+        if affine is None:
+            # affine iff J is constant across ips (within fp tolerance)
+            spread = jnp.max(jnp.abs(J - J[:, :1])) / (jnp.max(jnp.abs(J)) + 1e-30)
+            affine = bool(jax.device_get(spread) < 1e-6)
+        if affine:
+            Jinv = Jinv[:, :1]
+        if plan is None:
+            plan = ScatterPlan.build(np.asarray(conn),
+                                     int(jax.device_get(conn_j.max())) + 1, 3)
+            # NOTE: prefer passing a plan built with the true node count.
+        lam, mu = lame_parameters(E, nu)
+        return PartialAssemblyOperator(
+            Jinv=Jinv, W=W, conn=conn_j,
+            dN=jnp.asarray(table.dN, dtype), plan=plan,
+            meta=_PAMeta(etype.lower(), float(lam), float(mu), affine))
+
+    def __call__(self, u):
+        lam, mu = self.meta.lam, self.meta.mu
+        ue = u[self.conn]                                   # [M, k, 3]
+        # reference-coordinate displacement gradient per ip
+        Hhat = jnp.einsum("qka,mkb->mqab", self.dN, ue)     # [M, q, 3, 3]
+        # physical gradient H[i, b] = sum_j Jinv[i, j] Hhat[j, b]
+        H = jnp.einsum("mqij,mqjb->mqib", self.Jinv_b(), Hhat)
+        eps = 0.5 * (H + jnp.swapaxes(H, -1, -2))
+        tr = eps[..., 0, 0] + eps[..., 1, 1] + eps[..., 2, 2]
+        sig = 2.0 * mu * eps
+        sig = sig + (lam * tr)[..., None, None] * jnp.eye(3, dtype=u.dtype)
+        # T[j, b] = w detJ sum_i Jinv[i, j] sig[i, b]
+        T = jnp.einsum("mq,mqij,mqib->mqjb", self.W, self.Jinv_b(), sig)
+        Fe = jnp.einsum("qkj,mqjb->mkb", self.dN, T)        # [M, k, 3]
+        return self.plan.scatter(Fe.reshape(Fe.shape[0], -1)).reshape(u.shape)
+
+    def Jinv_b(self):
+        """Jinv broadcast to [M, q, 3, 3] (affine stores a single slice)."""
+        if self.meta.affine and self.Jinv.shape[1] == 1:
+            return jnp.broadcast_to(
+                self.Jinv, (self.Jinv.shape[0], self.W.shape[1], 3, 3))
+        return self.Jinv
+
+    def diagonal(self):
+        """Assembled diagonal [n_dof]: (lam+mu) g_ia^2 + mu |g_i|^2."""
+        lam, mu = self.meta.lam, self.meta.mu
+        g = jnp.einsum("mqij,qkj->mqki", self.Jinv_b(), self.dN)  # [M,q,k,3]
+        g2 = jnp.einsum("mq,mqka,mqka->mka", self.W, g, g)        # sum_q W g^2
+        norm2 = jnp.sum(g2, axis=-1, keepdims=True)               # [M,k,1]
+        d = (lam + mu) * g2 + mu * norm2                          # [M,k,3]
+        return self.plan.scatter(d.reshape(d.shape[0], -1))
