@@ -197,11 +197,9 @@ def shell_nodal_forces(K, plan_or_conn, displacement, unit,
         plan = ScatterPlan.build(jax.device_get(plan_or_conn), n, 6)
     M, d, _ = K.shape
     k = d // 6
-    conn_dofs = plan.dofs  # [M, 6k]
-    # local displacement via rotation (gather happens on [N,6] directly)
+    # local displacement via rotation (row gather on [N,6] directly)
     u2d = displacement.reshape(-1, 6)
-    conn_nodes = conn_dofs[:, ::6] // 6                  # [M, k]
-    u_loc = global_to_local_displacement(conn_nodes, u2d, unit,
+    u_loc = global_to_local_displacement(plan.conn, u2d, unit,
                                          displacement.dtype)  # [M,k,6]
     F_loc = jnp.einsum("mij,mj->mi", K, u_loc.reshape(M, d)).reshape(M, k, 6)
     uT = jnp.swapaxes(unit, 1, 2).astype(displacement.dtype)

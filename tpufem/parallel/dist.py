@@ -49,9 +49,8 @@ class DistPartition:
     """Device-resident partition plan; leading axis = parts (sharded)."""
 
     K: jnp.ndarray          # [P, Mp, d, d]
-    dofs: jnp.ndarray       # [P, Mp*d] int32 (padded new-id dof space)
-    perm: jnp.ndarray       # [P, Mp*d] int32 per-part stable sort
-    segments: jnp.ndarray   # [P, Mp*d] int32 sorted targets
+    conn: jnp.ndarray       # [P, Mp, k] int32 (padded new-id node space)
+    inc: jnp.ndarray        # [P, P*B, W] int32 rows into Fe [Mp*k (+1), nd]
     new_from_old: jnp.ndarray  # [N] int32 node renumbering
     old_from_new: jnp.ndarray  # [P*B] int32 (padding rows -> -1)
     meta: _DistMeta
@@ -83,30 +82,39 @@ class DistPartition:
 
         part_sizes = np.bincount(labels, minlength=n_parts)
         Mp = int(part_sizes.max())
-        n_dof_pad = n_parts * B * dof_per_node
+        n_nodes_pad = n_parts * B
 
-        K_pad = np.zeros((n_parts, Mp, d, d), dtype=K_np.dtype)
-        dofs_pad = np.zeros((n_parts, Mp * dof_per_node * k), dtype=np.int64)
-        # padding elements scatter zeros into the shard's first owned dof
         conn_new = new_from_old[conn]
-        dofs_all = element_dofs(conn_new, dof_per_node).astype(np.int64)
-        perm_pad = np.zeros((n_parts, Mp * d), dtype=np.int32)
-        seg_pad = np.zeros((n_parts, Mp * d), dtype=np.int32)
+        K_pad = np.zeros((n_parts, Mp, d, d), dtype=K_np.dtype)
+        conn_pad = np.zeros((n_parts, Mp, k), dtype=np.int64)
+        # per-part node-binned incidence over REAL element rows only
+        # (padding elements have zero K and never enter any bin)
+        part_rows = []
+        W = 1
         for p in range(n_parts):
             sel = np.nonzero(labels == p)[0]
             K_pad[p, :sel.size] = K_np[sel]
-            dp = np.full((Mp, d), p * B * dof_per_node, dtype=np.int64)
-            dp[:sel.size] = dofs_all[sel]
-            flat = dp.reshape(-1)
-            pr = np.argsort(flat, kind="stable").astype(np.int32)
-            perm_pad[p] = pr
-            seg_pad[p] = flat[pr].astype(np.int32)
-            dofs_pad[p] = flat
+            conn_pad[p, :sel.size] = conn_new[sel]
+            rows = conn_new[sel].reshape(-1)          # node per (e_local, l)
+            cnt = np.bincount(rows, minlength=n_nodes_pad)
+            W = max(W, int(cnt.max()))
+            part_rows.append(rows)
+        inc = np.full((n_parts, n_nodes_pad, W), Mp * k, dtype=np.int32)
+        for p in range(n_parts):
+            rows = part_rows[p]
+            cnt = np.bincount(rows, minlength=n_nodes_pad)
+            srt = np.argsort(rows, kind="stable")
+            starts = np.zeros(n_nodes_pad + 1, np.int64)
+            starts[1:] = np.cumsum(cnt)
+            sn = rows[srt]
+            col = np.arange(rows.size) - starts[sn]
+            inc[p, sn, col] = srt.astype(np.int32)
 
         meta = _DistMeta(n_parts, B, n_nodes, Mp, d)
         return DistPartition(
-            K=jnp.asarray(K_pad), dofs=jnp.asarray(dofs_pad.astype(np.int32)),
-            perm=jnp.asarray(perm_pad), segments=jnp.asarray(seg_pad),
+            K=jnp.asarray(K_pad),
+            conn=jnp.asarray(conn_pad.astype(np.int32)),
+            inc=jnp.asarray(inc),
             new_from_old=jnp.asarray(new_from_old.astype(np.int32)),
             old_from_new=jnp.asarray(old_from_new.astype(np.int32)),
             meta=meta,
@@ -141,9 +149,8 @@ class DistFEM:
         part_sharding = NamedSharding(mesh, P(axis))
         # place partition arrays sharded over parts
         self.K = jax.device_put(part.K, part_sharding)
-        self.dofs = jax.device_put(part.dofs, part_sharding)
-        self.perm = jax.device_put(part.perm, part_sharding)
-        self.segments = jax.device_put(part.segments, part_sharding)
+        self.conn = jax.device_put(part.conn, part_sharding)
+        self.inc = jax.device_put(part.inc, part_sharding)
         self.row_sharding = row_sharding
         self.free_mask = free_mask      # [P*B, 3] new order (or None)
         self.M_inv = M_inv              # [P*B, 3] new order (or None)
@@ -151,20 +158,23 @@ class DistFEM:
         self._pcg = {}
 
     # -- sharded kernels -------------------------------------------------
-    def _spmv_shard(self, K, dofs, perm, segments, u_own):
-        """Per-shard body; u_own [B, 3] -> F_own [B, 3]."""
+    def _spmv_shard(self, K, conn, inc, u_own):
+        """Per-shard body; u_own [B, 3] -> F_own [B, 3].
+
+        Row-gather + node-binned gather-reduce (see ops.scatter for the
+        measured rationale; flat gather/scatter serialize on TPU).
+        """
         m = self.part.meta
         K = K[0]
-        dofs = dofs[0]
-        perm = perm[0]
-        segments = segments[0]
+        conn = conn[0]
+        inc = inc[0]
         u_full = jax.lax.all_gather(u_own, self.axis, tiled=True)  # [P*B,3]
-        ue = u_full.reshape(-1)[dofs].reshape(m.elems_per_part, m.dof_per_elem)
+        ue = u_full[conn].reshape(m.elems_per_part, m.dof_per_elem)
         Fe = jnp.einsum("mij,mj->mi", K, ue)
-        F_full = jax.ops.segment_sum(
-            Fe.reshape(-1)[perm], segments, num_segments=self.n_dof_pad,
-            indices_are_sorted=True)
-        return jax.lax.psum_scatter(F_full.reshape(-1, 3), self.axis,
+        rows = Fe.reshape(-1, 3)
+        padded = jnp.concatenate([rows, jnp.zeros((1, 3), rows.dtype)], axis=0)
+        F_full = jnp.sum(padded[inc], axis=1)                      # [P*B, 3]
+        return jax.lax.psum_scatter(F_full, self.axis,
                                     scatter_dimension=0, tiled=True)
 
     def spmv(self, u_new):
@@ -172,19 +182,18 @@ class DistFEM:
         if self._spmv is None:
             fn = jax.shard_map(
                 self._spmv_shard, mesh=self.mesh,
-                in_specs=(P(self.axis), P(self.axis), P(self.axis),
-                          P(self.axis), P(self.axis)),
+                in_specs=(P(self.axis),) * 4,
                 out_specs=P(self.axis))
             self._spmv = jax.jit(fn)
-        return self._spmv(self.K, self.dofs, self.perm, self.segments, u_new)
+        return self._spmv(self.K, self.conn, self.inc, u_new)
 
     # -- distributed PCG -------------------------------------------------
-    def _pcg_shard(self, tol, max_iter, eps, K, dofs, perm, segments,
+    def _pcg_shard(self, tol, max_iter, eps, K, conn, inc,
                    b_own, mask_own, minv_own, x0_own):
         axis = self.axis
 
         def A(u):
-            return self._spmv_shard(K, dofs, perm, segments, u)
+            return self._spmv_shard(K, conn, inc, u)
 
         def pdot(a, b):
             return jax.lax.psum(jnp.vdot(a, b), axis)
@@ -252,29 +261,28 @@ class DistFEM:
             fn = jax.shard_map(
                 partial(self._pcg_shard, tol, max_iter, eps),
                 mesh=self.mesh,
-                in_specs=(P(self.axis),) * 8,
+                in_specs=(P(self.axis),) * 7,
                 out_specs=(P(self.axis), P(), P(), P(), P()))
             self._pcg[key] = jax.jit(fn)
         u, status, iters, rn, hist = self._pcg[key](
-            self.K, self.dofs, self.perm, self.segments,
-            b_new, mask, minv, x0)
+            self.K, self.conn, self.inc, b_new, mask, minv, x0)
         return u, SolveInfo(status, iters, rn, hist)
 
     # -- helpers ---------------------------------------------------------
     def jacobi_preconditioner(self):
         """Owned-row inverse diagonal [P*B, 3] via one distributed pass."""
-        def shard(K, dofs, perm, segments):
-            m = self.part.meta
+        def shard(K, inc):
             d = jnp.diagonal(K[0], axis1=1, axis2=2)      # [Mp, d]
-            F_full = jax.ops.segment_sum(
-                d.reshape(-1)[perm[0]], segments[0],
-                num_segments=self.n_dof_pad, indices_are_sorted=True)
-            return jax.lax.psum_scatter(F_full.reshape(-1, 3), self.axis,
+            rows = d.reshape(-1, 3)
+            padded = jnp.concatenate(
+                [rows, jnp.zeros((1, 3), rows.dtype)], axis=0)
+            F_full = jnp.sum(padded[inc[0]], axis=1)
+            return jax.lax.psum_scatter(F_full, self.axis,
                                         scatter_dimension=0, tiled=True)
         fn = jax.jit(jax.shard_map(
-            shard, mesh=self.mesh, in_specs=(P(self.axis),) * 4,
+            shard, mesh=self.mesh, in_specs=(P(self.axis),) * 2,
             out_specs=P(self.axis)))
-        diag = fn(self.K, self.dofs, self.perm, self.segments)
+        diag = fn(self.K, self.inc)
         return jnp.where(jnp.abs(diag) > 0, 1.0 / jnp.where(diag == 0, 1.0, diag), 0.0)
 
 
