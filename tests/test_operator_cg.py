@@ -179,3 +179,23 @@ def test_constraints_rbe3_weighted_average():
     u[3] = [3.0, 0, 4.0]
     out = np.asarray(cons.apply_state(jnp.asarray(u)))
     np.testing.assert_allclose(out[0], [(1 + 4 + 3) / 4, 2 / 4, 4 / 4])
+
+
+def test_chunked_scatter_matches_one_level():
+    """Two-stage chunked scatter == one-level == sorted segment sum."""
+    coords, conn = meshgen.box_tet(4, 4, 4)
+    N = coords.shape[0]
+    K = solid.stiffness(jnp.asarray(coords), jnp.asarray(conn), "c3d4", E, NU)
+    p1 = ScatterPlan.build(conn, N, 3)                      # one-level
+    p2 = ScatterPlan.build(conn, N, 3, chunk_rows=400)      # force chunks
+    assert not p1.meta.chunked and p2.meta.chunked
+    Fe = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (conn.shape[0], 12)))
+    y1 = np.asarray(p1.scatter(Fe))
+    y2 = np.asarray(p2.scatter(Fe))
+    y3 = np.asarray(p1.scatter_sorted(Fe))
+    np.testing.assert_allclose(y1, y3, rtol=1e-12)
+    np.testing.assert_allclose(y2, y3, rtol=1e-12)
+    # determinism of the chunked path
+    y2b = np.asarray(p2.scatter(Fe))
+    assert np.array_equal(y2, y2b)

@@ -2,33 +2,42 @@
 
 The reference's hottest reduction is an atomic ``index_add`` with
 nondeterministic float ordering (solver/element.py:460, SURVEY.md 3.3).
-The TPU-native replacement was measured against every XLA indexing
-primitive on real hardware (see BENCH notes):
+The TPU-native replacement was designed from measurements of every XLA
+indexing primitive on real hardware:
 
-* flat 1-D gather/scatter cost ~7-16 ns per SCALAR on TPU (serialized) —
-  the naive gather->GEMV->scatter-add SpMV is 50-100x slower than its
-  arithmetic;
-* ROW gathers (``u[conn]`` of [N, nd] rows) cost ~2.4 ns per ROW — ~10x
-  cheaper per scalar;
-* therefore both directions are expressed as row gathers:
-  - gather:  u[conn]                                  [M, k, nd]
-  - scatter: node-binned gather-reduce — for each node, gather its (at
-    most W) incident element-lane rows from Fe [M*k, nd] (host-precomputed
-    incidence table, padding entries point at an appended zero row) and
-    sum over the bin axis.  Exact, bitwise deterministic (fixed incidence
-    order), no atomics, no segment scan.
+* flat 1-D gather/scatter cost ~7-16 ns per SCALAR on TPU (serialized);
+* ROW gathers cost ~2-3 ns per ROW — an order of magnitude cheaper per
+  scalar — so both directions are expressed as row operations:
+  - gather:  ``u[conn]``                               [M, k, nd]
+  - scatter: per-node incidence bins over Fe rows, evaluated as flat
+    ``take`` + fixed-width reshape-sum (padding entries point at an
+    appended zero row; exact, bitwise deterministic, no atomics);
+* take throughput degrades ~5x once the source table exceeds ~2 MB, and
+  batched (vmapped) takes do NOT restore it, but UNROLLED takes from
+  small per-chunk tables do — so large meshes use a two-stage reduction:
+  stage 1 reduces each element-chunk's rows into per-(node, chunk)
+  sub-bins from ~1 MB tables; stage 2 combines the few sub-bins per node
+  from the (small) stage-1 output table;
+* bins are grouped into <=4 power-of-two width classes by valence so the
+  padded gather volume stays within ~1.3x of the true entry count.
 
 The sorted permutation/segments of the original design are kept for
-value-stream assembly (BSR) and as a fallback.
+value-stream assembly (BSR) and as a validation fallback.
 """
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Above ~this many Fe rows the single-table takes fall off the fast path
+# (the TPU gather engine degrades once the source exceeds ~2 MB); measured
+# sweep put the optimum near 32k rows (~400 KB tables).
+_CHUNK_ROWS = 32768
+_MAX_UNROLL_CHUNKS = 64
 
 
 def element_dofs(conn, dof_per_node: int = 3) -> np.ndarray:
@@ -41,10 +50,53 @@ def element_dofs(conn, dof_per_node: int = 3) -> np.ndarray:
 
 def _stable_argsort_i32(flat: np.ndarray) -> np.ndarray:
     from .. import native
-    perm = native.radix_argsort(flat)
+    perm = native.radix_argsort(np.ascontiguousarray(flat, np.int32))
     if perm is None:
         perm = np.argsort(flat, kind="stable").astype(np.int32)
     return perm
+
+
+def _classed_bins(keys: np.ndarray, positions: np.ndarray, pad_index: int,
+                  max_classes: int = 4):
+    """Group entry `positions` into per-key bins, classed by width.
+
+    Returns (classes, key_order) where classes is a list of
+    (width, inc_flat [n_c * width] int32) and key_order the unique keys in
+    emission order (class-major, key-sorted within class).
+    """
+    keys = np.asarray(keys, np.int64)
+    positions = np.asarray(positions, np.int64)
+    order = _stable_argsort_i32(keys.astype(np.int32)).astype(np.int64)
+    sk = keys[order]
+    uniq, starts_idx, cnt = np.unique(sk, return_index=True,
+                                      return_counts=True)
+    widths = np.maximum(1, 1 << np.ceil(
+        np.log2(np.maximum(cnt, 1))).astype(np.int64))
+    uniq_w = sorted(set(widths.tolist()))
+    while len(uniq_w) > max_classes:
+        vols = []
+        for i in range(len(uniq_w) - 1):
+            sel = (widths >= uniq_w[i]) & (widths <= uniq_w[i + 1])
+            vols.append(int(sel.sum()) * uniq_w[i + 1])
+        j = int(np.argmin(vols))
+        widths[widths == uniq_w[j]] = uniq_w[j + 1]
+        uniq_w.pop(j)
+    classes = []
+    key_order: List[np.ndarray] = []
+    for w in uniq_w:
+        sel = np.nonzero(widths == w)[0]
+        if sel.size == 0:
+            continue
+        inc = np.full((sel.size, w), pad_index, dtype=np.int32)
+        for row_i, ui in enumerate(sel):
+            c = cnt[ui]
+            s = starts_idx[ui]
+            inc[row_i, :c] = positions[order[s:s + c]]
+        classes.append((int(w), inc.reshape(-1)))
+        key_order.append(uniq[sel])
+    key_order = (np.concatenate(key_order) if key_order
+                 else np.zeros(0, np.int64))
+    return classes, key_order
 
 
 @jax.tree_util.register_static
@@ -53,8 +105,15 @@ class _PlanMeta:
     n_dof: int
     n_nodes: int
     dof_per_node: int
-    n_rows: int                    # M * k
-    class_widths: Tuple[int, ...]  # bin width per valence class
+    n_rows: int                                      # M * k
+    class_widths: Tuple[int, ...]                    # 1-level mode
+    chunk_bounds: Tuple[int, ...]                    # 2-level: row offsets
+    chunk_class_widths: Tuple[Tuple[int, ...], ...]  # per chunk
+    stage2_widths: Tuple[int, ...]
+
+    @property
+    def chunked(self) -> bool:
+        return len(self.chunk_bounds) > 0
 
 
 @jax.tree_util.register_dataclass
@@ -64,8 +123,10 @@ class ScatterPlan:
 
     conn: jnp.ndarray      # [M, k] int32 — row-gather indices
     dofs: jnp.ndarray      # [M, k*nd] int32 — flat DOF ids (assembly/compat)
-    inc: Tuple[jnp.ndarray, ...]  # per class: [Nc*Wc] int32 rows into Fe
-    inv_order: jnp.ndarray # [N] int32 — position of node n in class ordering
+    inc: Tuple[jnp.ndarray, ...]       # 1-level per-class flat bins
+    chunk_inc: Tuple[Tuple[jnp.ndarray, ...], ...]  # 2-level stage 1
+    stage2_inc: Tuple[jnp.ndarray, ...]             # 2-level stage 2
+    inv_order: jnp.ndarray # [N] int32 — node -> emitted-bin position
     perm: jnp.ndarray      # [M*k*nd] int32 stable sort (assembly fallback)
     segments: jnp.ndarray  # [M*k*nd] int32 sorted DOF ids
     meta: _PlanMeta
@@ -74,69 +135,73 @@ class ScatterPlan:
     def n_dof(self) -> int:
         return self.meta.n_dof
 
+    # ------------------------------------------------------------------
     @staticmethod
     def build(conn, n_nodes: int, dof_per_node: int = 3,
-              max_classes: int = 4) -> "ScatterPlan":
+              max_classes: int = 4, chunk_rows: int = _CHUNK_ROWS
+              ) -> "ScatterPlan":
         conn = np.asarray(conn)
         M, k = conn.shape
         nd = dof_per_node
+        n_rows = M * k
         dofs = element_dofs(conn, nd)
         flat = dofs.reshape(-1)
         perm = _stable_argsort_i32(flat)
         segments = flat[perm]
 
-        # node incidence lists over element-lane rows
-        rows = conn.reshape(-1).astype(np.int64)          # node id per (e, l)
-        counts = np.bincount(rows, minlength=n_nodes)
-        order = _stable_argsort_i32(rows.astype(np.int32)).astype(np.int64)
-        starts = np.zeros(n_nodes + 1, np.int64)
-        starts[1:] = np.cumsum(counts)
+        rows_node = conn.reshape(-1).astype(np.int64)  # node per (e, l) row
 
-        # valence classes: nodes sorted by valence, widths rounded up to the
-        # next power of two, at most `max_classes` classes.  Cuts the padded
-        # gather volume ~3x vs a single max-width table (mid-edge nodes have
-        # valence ~6 while corner nodes reach ~24 on tet meshes).
-        node_order = np.argsort(counts, kind="stable")
-        sorted_counts = counts[node_order]
-        widths = np.maximum(1, 1 << np.ceil(
-            np.log2(np.maximum(sorted_counts, 1))).astype(np.int64))
-        uniq_w = sorted(set(widths.tolist()))
-        while len(uniq_w) > max_classes:
-            # merge the two smallest-volume adjacent classes
-            vols = []
-            for i in range(len(uniq_w) - 1):
-                sel = (widths >= uniq_w[i]) & (widths <= uniq_w[i + 1])
-                vols.append(int(sel.sum()) * uniq_w[i + 1])
-            j = int(np.argmin(vols))
-            widths[widths == uniq_w[j]] = uniq_w[j + 1]
-            uniq_w.pop(j)
-        inc_arrays = []
-        class_widths = []
-        pos = 0
-        for w in uniq_w:
-            sel = np.nonzero(widths == w)[0]
-            if sel.size == 0:
-                continue
-            nodes_c = node_order[sel]
-            inc_c = np.full((sel.size, w), M * k, dtype=np.int32)
-            for row_i, nd_id in enumerate(nodes_c):
-                c = counts[nd_id]
-                inc_c[row_i, :c] = order[starts[nd_id]:starts[nd_id] + c]
-            inc_arrays.append(jnp.asarray(inc_c.reshape(-1)))
-            class_widths.append(int(w))
-            pos += sel.size
-        inv_order = np.empty(n_nodes, np.int64)
-        inv_order[node_order] = np.arange(n_nodes)
+        if n_rows <= chunk_rows:
+            classes, key_order = _classed_bins(
+                rows_node, np.arange(n_rows), n_rows, max_classes)
+            inv_order = np.full(n_nodes, len(key_order), np.int64)
+            inv_order[key_order] = np.arange(key_order.size)
+            return ScatterPlan(
+                conn=jnp.asarray(conn.astype(np.int32)),
+                dofs=jnp.asarray(dofs),
+                inc=tuple(jnp.asarray(a) for _, a in classes),
+                chunk_inc=(), stage2_inc=(),
+                inv_order=jnp.asarray(inv_order.astype(np.int32)),
+                perm=jnp.asarray(perm), segments=jnp.asarray(segments),
+                meta=_PlanMeta(n_nodes * nd, n_nodes, nd, n_rows,
+                               tuple(w for w, _ in classes), (), (), ()),
+            )
+
+        # ---- two-stage chunked build ----------------------------------
+        n_chunks = min(-(-n_rows // chunk_rows), _MAX_UNROLL_CHUNKS)
+        rows_per_chunk = -(-n_rows // n_chunks)
+        rows_per_chunk = -(-rows_per_chunk // k) * k  # element-aligned
+        bounds = list(range(0, n_rows, rows_per_chunk)) + [n_rows]
+
+        chunk_inc: List[Tuple[jnp.ndarray, ...]] = []
+        chunk_widths: List[Tuple[int, ...]] = []
+        sub_nodes: List[np.ndarray] = []
+        for ci in range(len(bounds) - 1):
+            a, b = bounds[ci], bounds[ci + 1]
+            local_nodes = rows_node[a:b]
+            classes, key_order = _classed_bins(
+                local_nodes, np.arange(b - a), b - a, max_classes)
+            chunk_inc.append(tuple(jnp.asarray(arr) for _, arr in classes))
+            chunk_widths.append(tuple(w for w, _ in classes))
+            sub_nodes.append(key_order)
+        sub_nodes_all = np.concatenate(sub_nodes)
+        T = sub_nodes_all.size
+        classes2, key_order2 = _classed_bins(
+            sub_nodes_all, np.arange(T), T, max_classes)
+        inv_order = np.full(n_nodes, key_order2.size, np.int64)
+        inv_order[key_order2] = np.arange(key_order2.size)
 
         return ScatterPlan(
             conn=jnp.asarray(conn.astype(np.int32)),
             dofs=jnp.asarray(dofs),
-            inc=tuple(inc_arrays),
+            inc=(),
+            chunk_inc=tuple(chunk_inc),
+            stage2_inc=tuple(jnp.asarray(a) for _, a in classes2),
             inv_order=jnp.asarray(inv_order.astype(np.int32)),
-            perm=jnp.asarray(perm),
-            segments=jnp.asarray(segments),
-            meta=_PlanMeta(int(n_nodes) * nd, int(n_nodes), nd, M * k,
-                           tuple(class_widths)),
+            perm=jnp.asarray(perm), segments=jnp.asarray(segments),
+            meta=_PlanMeta(n_nodes * nd, n_nodes, nd, n_rows, (),
+                           tuple(bounds), tuple(chunk_widths),
+                           tuple(w for w, _ in classes2)),
         )
 
     # -- fast paths ------------------------------------------------------
@@ -151,23 +216,34 @@ class ScatterPlan:
         g = self.gather_nodes(u2d)
         return g.reshape(g.shape[0], -1)
 
-    def scatter(self, element_values):
-        """[M, k*nd] element values -> [n_dof] deterministic sum.
+    @staticmethod
+    def _take_reduce(padded, inc_flat, w, nd):
+        g = jnp.take(padded, inc_flat, axis=0)           # [n_c * w, nd]
+        return g.reshape(-1, w, nd).sum(axis=1)
 
-        Valence-classed gather-reduce: pad Fe rows with one zero row;
-        padding incidence entries point there, so no mask is needed; per
-        class a flat take + fixed-width reshape-sum replaces the scatter.
-        """
+    def scatter(self, element_values):
+        """[M, k*nd] element values -> [n_dof] deterministic sum."""
         m = self.meta
         nd = m.dof_per_node
         rows = element_values.reshape(m.n_rows, nd)
-        padded = jnp.concatenate(
-            [rows, jnp.zeros((1, nd), rows.dtype)], axis=0)
-        parts = []
-        for inc_c, w in zip(self.inc, m.class_widths):
-            g = jnp.take(padded, inc_c, axis=0)          # [Nc*w, nd]
-            parts.append(g.reshape(-1, w, nd).sum(axis=1))
-        y_sorted = jnp.concatenate(parts, axis=0)        # class node order
+        zero = jnp.zeros((1, nd), rows.dtype)
+        if not m.chunked:
+            padded = jnp.concatenate([rows, zero], axis=0)
+            parts = [self._take_reduce(padded, inc_c, w, nd)
+                     for inc_c, w in zip(self.inc, m.class_widths)]
+            y_sorted = jnp.concatenate(parts + [zero], axis=0)
+            return jnp.take(y_sorted, self.inv_order, axis=0).reshape(-1)
+        # two-stage: per-chunk sub-bin partials from small tables
+        partials = []
+        for ci in range(len(m.chunk_bounds) - 1):
+            a, b = m.chunk_bounds[ci], m.chunk_bounds[ci + 1]
+            padded_c = jnp.concatenate([rows[a:b], zero], axis=0)
+            for inc_c, w in zip(self.chunk_inc[ci], m.chunk_class_widths[ci]):
+                partials.append(self._take_reduce(padded_c, inc_c, w, nd))
+        s1 = jnp.concatenate(partials + [zero], axis=0)
+        parts = [self._take_reduce(s1, inc_c, w, nd)
+                 for inc_c, w in zip(self.stage2_inc, m.stage2_widths)]
+        y_sorted = jnp.concatenate(parts + [zero], axis=0)
         return jnp.take(y_sorted, self.inv_order, axis=0).reshape(-1)
 
     # -- exact sorted-stream fallback (kept for validation) --------------
