@@ -3,6 +3,11 @@ with the outer interface iteration the reference never finished).
 
     python examples/hybrid_subdomain.py [n_parts]
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import sys
 import time
 
@@ -30,8 +35,10 @@ def main(n_parts=None):
     print(f"setup (partition + batched Cholesky): {time.time() - t0:.2f}s; "
           f"interface nodes: {sys_.meta.n_interface}")
     t0 = time.time()
-    u, info = sys_.solve(jnp.asarray(b, sys_.chol.dtype), tol=1e-10,
-                         max_iter=500)
+    import jax
+    u, info = jax.jit(lambda f: sys_.solve(f, tol=1e-10, max_iter=500))(
+        jnp.asarray(b, sys_.chol.dtype))
+    jax.block_until_ready(u)
     print(f"interface CG: {time.time() - t0:.2f}s status={int(info.status)} "
           f"outer iters={int(info.iterations)}")
     print("max |u| =", float(jnp.max(jnp.abs(u))))

@@ -5,6 +5,11 @@ constrained CG -> nodal von Mises -> visualize/export) on generated data.
 
     python examples/static_cantilever.py [out.vtk]
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import sys
 import time
 

@@ -205,8 +205,12 @@ def build_hybrid(coords, conn, etype: str, E: float, nu: float,
         l_index = -np.ones(N, np.int64)
         l_index[local] = np.arange(local.size)
         lconn = l_index[conn_np[sel]]
-        Kp = np.asarray(assemble_dense(jnp.asarray(K_np[sel]), lconn,
-                                       local.size, 3))
+        # host-side dense assembly (device round-trips per part are slow on
+        # tunneled backends; subdomain blocks are small by construction)
+        Kp = np.zeros((local.size * 3, local.size * 3), dtype=fdtype)
+        ldofs = (lconn[:, :, None] * 3 + np.arange(3)).reshape(sel.size, -1)
+        for m in range(sel.size):
+            Kp[np.ix_(ldofs[m], ldofs[m])] += K_np[sel[m]]
         nI, nG = ints.size, gifs.size
         A_II = Kp[:3 * nI, :3 * nI]
         # fixed interior-free dofs already zeroed; give padding + any zero
