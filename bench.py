@@ -44,6 +44,7 @@ def main():
     import jax.numpy as jnp
 
     import tpufem
+    from tpufem.ops.clustered import ClusteredOperator
     from tpufem.ops.operator import MatrixFreeOperator, diagonal_preconditioner
     from tpufem.ops.scatter import ScatterPlan
     from tpufem.solvers.cg import cg
@@ -76,7 +77,8 @@ def main():
     K = jax.jit(lambda c, cj: tpufem.solid.stiffness(c, cj, "c3d10", 200e9,
                                                      0.3))(coords_j, conn_j)
     plan = ScatterPlan.build(conn, N, 3)
-    op = MatrixFreeOperator(K=K, plan=plan)
+    # headline operator: cluster-structured (MXU one-hot local gather/scatter)
+    op = ClusteredOperator.build(K, conn, N, 3, elems_per_cluster=32)
 
     # --- SpMV throughput (slope over loop length) -----------------------
     def make_spmv(iters):
@@ -99,7 +101,9 @@ def main():
     # --- CG iterations/s (slope over max_iter) --------------------------
     fixed = meshgen.boundary_nodes(coords, 2, 0.0)
     cons = Constraints.fixed(N, fixed, 3, dtype=np.float32)
-    Minv = diagonal_preconditioner([op])
+    dg = op.diagonal()
+    Minv = jnp.where(jnp.abs(dg) > 0, 1.0 / jnp.where(dg == 0, 1.0, dg),
+                     0.0).reshape(N, 3)
 
     def make_cg(iters):
         @jax.jit
@@ -156,6 +160,7 @@ def main():
             "elements": M,
             "nodes": N,
             "element_type": "c3d10",
+            "operator": "clustered(E_c=32)",
             "assembly_elements_per_s": elems_per_s,
             "cg_iters_per_s": cg_iters_per_s,
             "spmv_seconds": t_spmv,

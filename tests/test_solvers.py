@@ -180,3 +180,18 @@ def test_naive_modal_solver_runs():
                                               max_iter=10)
     assert lam.shape == (3,) and modes.shape == (N * 3, 3)
     assert bool(jnp.all(jnp.isfinite(lam)))
+
+
+@pytest.mark.parametrize("operator", ["partial", "clustered"])
+def test_static_driver_operator_variants(operator, tet_fixture):
+    coords, conn, op, cons, b, u_ref = tet_fixture
+    N = coords.shape[0]
+    fixed = meshgen.boundary_nodes(coords, axis=2, value=0.0)
+    force = np.zeros((N, 6))
+    force[:, :3] = b
+    u, info = static_structure_solver(coords, force, fixed, c3d4=conn,
+                                      material=MAT, tol=1e-11, max_iter=3000,
+                                      operator=operator)
+    assert int(info.status) == cgmod.CONVERGED
+    np.testing.assert_allclose(np.asarray(u[:, :3]), u_ref, rtol=1e-5,
+                               atol=1e-8 * np.abs(u_ref).max())

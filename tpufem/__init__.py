@@ -37,6 +37,9 @@ from .solvers import modal
 from .solvers.modal import lumped_mass_diagonal, modal_solver, naive_modal_solver
 from .solvers.static import StaticModel, build_static_model, static_structure_solver
 from .ops import assembly
+from .ops.clustered import ClusteredOperator, ClusterPlan
+from .ops.partial import PartialAssemblyOperator
+from .parallel.halo import HaloFEM, HaloPartition, build_halo_fem
 from .ops.assembly import BSRMatrix, assemble_bsr, bsr_matvec, build_bsr_structure
 from .solvers.hybrid import HybridSystem, build_hybrid, hybrid_solve
 from .parallel import dist, partition

@@ -409,6 +409,8 @@ class ElementTable:
 
 def element_table(etype: str, rule: str = "default") -> ElementTable:
     et = etype.lower()
+    if et == "c3d8i":  # reference alias (solver/element.py:383)
+        et = "c3d8"
     pts, wts = quadrature(et, rule)
     N, dN = shape_values(et, pts)
     return ElementTable(et, pts, wts, N, dN)

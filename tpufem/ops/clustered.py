@@ -110,18 +110,29 @@ class ClusterPlan:
         return (lc[:, :, None] == iota).astype(dtype)
 
 
+@jax.tree_util.register_static
+@dataclasses.dataclass(frozen=True)
+class _OpFlags:
+    use_pallas: bool = False
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class ClusteredOperator:
-    """u[N, nd] -> F[N, nd] with cluster-local MXU gather/scatter."""
+    """u[N, nd] -> F[N, nd] with cluster-local MXU gather/scatter.
+
+    ``use_pallas=True`` routes the per-cluster pipeline through the fused
+    Pallas kernel (ops.pallas_kernels.cluster_spmv) — identical math, no
+    one-hot HBM materialization."""
 
     K: jnp.ndarray            # [B, E_c, d, d] zero-padded
     plan: ClusterPlan
+    flags: _OpFlags = _OpFlags()
 
     @staticmethod
     def build(K_elem, conn, n_nodes: int, dof_per_node: int = 3,
-              plan: Optional[ClusterPlan] = None, **plan_kw
-              ) -> "ClusteredOperator":
+              plan: Optional[ClusterPlan] = None, use_pallas: bool = False,
+              **plan_kw) -> "ClusteredOperator":
         conn = np.asarray(conn)
         if plan is None:
             plan = ClusterPlan.build(conn, n_nodes, dof_per_node, **plan_kw)
@@ -133,18 +144,25 @@ class ClusteredOperator:
             [jnp.asarray(K_elem),
              jnp.zeros((pad, d, d), K_elem.dtype)], axis=0
         ) if pad else jnp.asarray(K_elem)
-        return ClusteredOperator(K=K_pad.reshape(B, E_c, d, d), plan=plan)
+        return ClusteredOperator(K=K_pad.reshape(B, E_c, d, d), plan=plan,
+                                 flags=_OpFlags(use_pallas))
 
     def __call__(self, u):
         m = self.plan.meta
         nd = m.dof_per_node
         B, L, E_c = m.n_clusters, m.l_max, m.elems_per_cluster
-        oh = self.plan.onehot(u.dtype)                     # [B, E_c*k, L]
         Uc = u[self.plan.l2g]                              # [B, L, nd] (rows)
-        ue = jnp.einsum("bel,blc->bec", oh, Uc)            # MXU expand
-        Fe = jnp.einsum("beij,bej->bei", self.K,
-                        ue.reshape(B, E_c, -1))            # batched GEMV
-        Yc = jnp.einsum("bel,bec->blc", oh, Fe.reshape(B, -1, nd))  # compress
+        if self.flags.use_pallas:
+            from .pallas_kernels import cluster_spmv
+            lc = self.plan.lconn.reshape(B, -1)
+            Yc = cluster_spmv(self.K, lc, Uc)
+        else:
+            oh = self.plan.onehot(u.dtype)                 # [B, E_c*k, L]
+            ue = jnp.einsum("bel,blc->bec", oh, Uc)        # MXU expand
+            Fe = jnp.einsum("beij,bej->bei", self.K,
+                            ue.reshape(B, E_c, -1))        # batched GEMV
+            Yc = jnp.einsum("bel,bec->blc", oh,
+                            Fe.reshape(B, -1, nd))         # compress
         rows = Yc.reshape(B * L, nd)
         zero = jnp.zeros((1, nd), rows.dtype)
         padded = jnp.concatenate([rows, zero], axis=0)

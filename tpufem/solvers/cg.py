@@ -42,7 +42,7 @@ def _noop_state(u):
 
 def cg(A: Callable, b, *, constraints: Optional[Constraints] = None,
        M_inv=None, x0=None, tol: float = 1e-10, max_iter: int = 1000,
-       eps: float = 1e-30, record_history: bool = True):
+       eps: float = 1e-30, record_history: bool = True, dot_dtype=None):
     """(P)CG on A u = b with constraint projection inside the loop.
 
     Args:
@@ -52,23 +52,31 @@ def cg(A: Callable, b, *, constraints: Optional[Constraints] = None,
         (state set + residual projection after init and every update).
       M_inv: optional Jacobi preconditioner array broadcastable to b.
       tol: absolute tolerance on ||r|| (reference semantics).
+      dot_dtype: accumulate the CG scalar recurrences in this dtype
+        (e.g. jnp.float64 with x64 enabled) while vectors stay in b's
+        dtype — the "f32 storage + wide scalars" policy for TPU
+        (SURVEY.md hard part 4).  Default: b's dtype.
     Returns:
       (u, SolveInfo)
     """
     dtype = b.dtype
     project = constraints.project_residual if constraints else _noop_project
     set_state = constraints.apply_state if constraints else _noop_state
+    ddt = dot_dtype or dtype
+
+    def vdot(a, c):
+        return jnp.vdot(a.astype(ddt), c.astype(ddt)).astype(dtype)
 
     u0 = jnp.zeros_like(b) if x0 is None else x0.astype(dtype)
     u0 = set_state(u0)
     r0 = project(b - A(u0))
     z0 = r0 * M_inv if M_inv is not None else r0
     p0 = z0
-    rz0 = jnp.vdot(r0, z0)
+    rz0 = vdot(r0, z0)
 
     hist_len = max_iter + 1 if record_history else 1
     hist0 = jnp.full((hist_len,), jnp.inf, dtype=dtype)
-    r0norm = jnp.sqrt(jnp.vdot(r0, r0).real)
+    r0norm = jnp.sqrt(vdot(r0, r0).real)
     if record_history:
         hist0 = hist0.at[0].set(r0norm)
     status0 = jnp.where(r0norm < tol, CONVERGED, RUNNING).astype(jnp.int32)
@@ -80,7 +88,7 @@ def cg(A: Callable, b, *, constraints: Optional[Constraints] = None,
     def body(s):
         i, u, r, p, rz, status, hist = s
         Ap = A(p)
-        pAp = jnp.vdot(p, Ap)
+        pAp = vdot(p, Ap)
         bad_curv = (jnp.abs(pAp) < eps) | (pAp < 0.0)
         alpha = rz / (pAp + eps)
         bad_alpha = jnp.isnan(alpha) | jnp.isinf(alpha)
@@ -88,8 +96,8 @@ def cg(A: Callable, b, *, constraints: Optional[Constraints] = None,
         u1 = set_state(u + alpha * p)
         r1 = project(r - alpha * Ap)
         z1 = r1 * M_inv if M_inv is not None else r1
-        rz1 = jnp.vdot(r1, z1)
-        rnorm = jnp.sqrt(jnp.vdot(r1, r1).real)
+        rz1 = vdot(r1, z1)
+        rnorm = jnp.sqrt(vdot(r1, r1).real)
         beta = rz1 / (rz + eps)
         bad_beta = jnp.isnan(beta) | jnp.isinf(beta)
         p1 = project(z1 + beta * p)
@@ -112,7 +120,7 @@ def cg(A: Callable, b, *, constraints: Optional[Constraints] = None,
     init = (jnp.int32(0), u0, r0, p0, rz0, status0, hist0)
     i, u, r, p, rz, status, hist = jax.lax.while_loop(cond, body, init)
     status = jnp.where(status == RUNNING, MAX_ITER, status)
-    rnorm = jnp.sqrt(jnp.vdot(r, r).real)
+    rnorm = jnp.sqrt(vdot(r, r).real)
     return u, SolveInfo(status, i, rnorm, hist)
 
 

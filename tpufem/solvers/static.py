@@ -99,7 +99,8 @@ def static_structure_solver(coords, force, fixed=None, *, material: dict,
                             constraints: Optional[Constraints] = None,
                             u_init=None, tol: float = 1e-10,
                             max_iter: int = 1000, precondition: bool = False,
-                            dtype=None, jit: bool = True):
+                            dtype=None, jit: bool = True,
+                            operator: str = "assembled"):
     """Solve the mixed static problem; returns (u [N,6], SolveInfo).
 
     Signature parity with reference static_structure_solver (solver/solver.py:11)
@@ -123,10 +124,16 @@ def static_structure_solver(coords, force, fixed=None, *, material: dict,
     plans = {et: ScatterPlan.build(np.asarray(conn), N,
                                    3 if et.lower() in SOLID_TYPES else 6)
              for et, conn in blocks.items()}
+    cplans = {}
+    if operator == "clustered":
+        from ..ops.clustered import ClusterPlan
+        cplans = {et: ClusterPlan.build(np.asarray(c), N, 3)
+                  for et, c in blocks.items() if et.lower() in SOLID_TYPES}
     conns = {et: jnp.asarray(np.asarray(c)) for et, c in blocks.items()}
 
     def _solve(coords_in, b, x0, cons):
-        model = _build_model_traced(coords_in, conns, plans, material)
+        model = _build_model_traced(coords_in, conns, plans, material,
+                                    operator, cplans)
         # DOFs with no stiffness (w/theta_z of pure-shell, rotations of
         # pure-solid models) must not enter the Krylov space.
         d6 = model.diagonal6()
@@ -152,15 +159,27 @@ def static_structure_solver(coords, force, fixed=None, *, material: dict,
     return fn(coords_j, force_j, x0, constraints)
 
 
-def _build_model_traced(coords, conns: Dict, plans: Dict,
-                        material: dict) -> StaticModel:
+def _build_model_traced(coords, conns: Dict, plans: Dict, material: dict,
+                        operator: str = "assembled",
+                        cplans: Optional[Dict] = None) -> StaticModel:
     """Assemble the StaticModel inside a trace (all stiffness fused)."""
     solid_ops, shell_ops = [], []
     for et, conn in conns.items():
         etl = et.lower()
         if etl in SOLID_TYPES:
+            if operator == "partial":
+                from ..ops.partial import PartialAssemblyOperator
+                solid_ops.append(PartialAssemblyOperator.build(
+                    coords, conn, etl, material["E"], material["nu"],
+                    plan=plans[et], affine=False))
+                continue
             K = solid_mod.stiffness(coords, conn, etl, material["E"],
                                     material["nu"])
+            if operator == "clustered":
+                from ..ops.clustered import ClusteredOperator
+                solid_ops.append(ClusteredOperator.build(
+                    K, conn, plans[et].meta.n_nodes, 3, plan=cplans[et]))
+                continue
             solid_ops.append(MatrixFreeOperator(K=K, plan=plans[et]))
         else:
             K = shell_mod.shell_stiffness(coords, conn, material["membrane"],
