@@ -69,3 +69,27 @@ def test_clustered_in_cg():
                max_iter=2000)
     np.testing.assert_allclose(np.asarray(u), np.asarray(u2), rtol=1e-6,
                                atol=1e-10 * np.abs(np.asarray(u2)).max())
+
+
+def test_clustered_partial_matches():
+    from tpufem.ops.clustered import ClusteredPartialOperator
+
+    coords, conn = meshgen.box_tet10(2, 2, 3)
+    # curve it so Jinv varies per ip
+    rng = np.random.default_rng(5)
+    interior = np.all((coords > 1e-9) & (coords < np.array([1, 1, 1]) - 1e-9),
+                      axis=1)
+    coords2 = coords.copy()
+    coords2[interior] += 0.01 * rng.standard_normal((interior.sum(), 3))
+    N = coords2.shape[0]
+    K = solid.stiffness(jnp.asarray(coords2), jnp.asarray(conn), "c3d10", E, NU)
+    op_ref = MatrixFreeOperator(K=K, plan=ScatterPlan.build(conn, N, 3))
+    op = ClusteredPartialOperator.build(jnp.asarray(coords2), conn, "c3d10",
+                                        E, NU)
+    u = jnp.asarray(np.random.default_rng(0).standard_normal((N, 3)))
+    F1 = np.asarray(op_ref(u))
+    F2 = np.asarray(op(u))
+    np.testing.assert_allclose(F2, F1, rtol=1e-9, atol=1e-11 * np.abs(F1).max())
+    d1 = np.asarray(op_ref.diagonal())
+    d2 = np.asarray(op.diagonal())
+    np.testing.assert_allclose(d2, d1, rtol=1e-9, atol=1e-11 * np.abs(d1).max())

@@ -67,7 +67,7 @@ class PartialAssemblyOperator:
         if affine is None:
             # affine iff J is constant across ips (within fp tolerance)
             spread = jnp.max(jnp.abs(J - J[:, :1])) / (jnp.max(jnp.abs(J)) + 1e-30)
-            affine = bool(jax.device_get(spread) < 1e-6)
+            affine = bool(jax.device_get(spread) < 1e-4)
         if affine:
             Jinv = Jinv[:, :1]
         if plan is None:

@@ -81,17 +81,23 @@ def _classed_bins(keys: np.ndarray, positions: np.ndarray, pad_index: int,
         j = int(np.argmin(vols))
         widths[widths == uniq_w[j]] = uniq_w[j + 1]
         uniq_w.pop(j)
+    # vectorized fill: every sorted entry knows its unique-key id and its
+    # column within the bin; per class, map unique ids to class rows.
+    ukey_of_entry = np.repeat(np.arange(uniq.size), cnt)
+    col_of_entry = np.arange(sk.size) - np.repeat(starts_idx, cnt)
+    pos_of_entry = positions[order]
     classes = []
     key_order: List[np.ndarray] = []
     for w in uniq_w:
         sel = np.nonzero(widths == w)[0]
         if sel.size == 0:
             continue
+        row_of_uniq = np.full(uniq.size, -1, np.int64)
+        row_of_uniq[sel] = np.arange(sel.size)
+        mask = row_of_uniq[ukey_of_entry] >= 0
         inc = np.full((sel.size, w), pad_index, dtype=np.int32)
-        for row_i, ui in enumerate(sel):
-            c = cnt[ui]
-            s = starts_idx[ui]
-            inc[row_i, :c] = positions[order[s:s + c]]
+        inc[row_of_uniq[ukey_of_entry[mask]], col_of_entry[mask]] = \
+            pos_of_entry[mask]
         classes.append((int(w), inc.reshape(-1)))
         key_order.append(uniq[sel])
     key_order = (np.concatenate(key_order) if key_order
