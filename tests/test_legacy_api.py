@@ -112,3 +112,20 @@ def test_dispatch_wrappers():
                                             np.zeros_like(coords), E, NU,
                                             "c3d4")
     np.testing.assert_allclose(np.asarray(vm), 0.0, atol=1e-12)
+
+
+def test_per_ip_stiffness_sums_to_single():
+    coords, conn = meshgen.box_tet10(1, 1, 1)
+    Kp = dispatch.compute_K_matrix(coords, conn, "c3d10", E, NU, single=False)
+    from tpufem.elements.tables import quadrature
+    _, w = quadrature("c3d10")
+    K1 = dispatch.compute_K_matrix(coords, conn, "c3d10", E, NU)
+    Ksum = np.einsum("q,qmij->mij", w, np.asarray(Kp))
+    np.testing.assert_allclose(Ksum, np.asarray(K1), rtol=1e-9,
+                               atol=1e-10 * np.abs(np.asarray(K1)).max())
+
+
+def test_compute_volumes_dispatch():
+    coords, conn = meshgen.box_wedge(2, 2, 2)
+    V = dispatch.compute_volumes(coords, conn, "c3d6")
+    np.testing.assert_allclose(np.asarray(V).sum(), 1.0, rtol=1e-10)

@@ -51,16 +51,31 @@ def compute_B_matrix(coords, elements, element_type: str,
 
 
 def compute_K_matrix(coords, elements, element_type: str, E: float, nu: float,
-                     rule: str = "default", D: Optional[np.ndarray] = None):
-    """Element stiffness [M, dof, dof] — reference compute_K_matrix parity."""
+                     rule: str = "default", D: Optional[np.ndarray] = None,
+                     single: bool = True):
+    """Element stiffness — reference compute_K_matrix parity.
+
+    single=True -> accumulated [M, dof, dof]; single=False -> per
+    integration point [q, M, dof, dof] (reference solver/element.py:1233)."""
     et = element_type.lower()
     if et in SHELL_TYPES:
         raise ValueError("use elements.shell.shell_stiffness for shells")
     c = jnp.asarray(coords)
     e = jnp.asarray(np.asarray(elements))
+    if not single:
+        return solid.stiffness_per_ip(c, e, et, E, nu, rule)
     if D is not None:
         return solid.stiffness_bmat(c, e, et, D, rule)
     return solid.stiffness(c, e, et, E, nu, rule)
+
+
+def compute_volumes(coords, elements, element_type: str):
+    """Element volumes [M] — parity with compute_tetrahedral_volumes /
+    compute_hexahedral_volumes / compute_wedge_volumes
+    (solver/element.py:514, 1248, 2198)."""
+    return solid.volumes(jnp.asarray(coords),
+                         jnp.asarray(np.asarray(elements)),
+                         etype=element_type)
 
 
 def compute_M_matrix(coords, elements, element_type: str, rho: float,

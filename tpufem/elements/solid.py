@@ -156,6 +156,27 @@ def stiffness(coords, conn, etype: str, E: float, nu: float,
     return K.reshape(K.shape[0], 3 * k, 3 * k)
 
 
+def stiffness_per_ip(coords, conn, etype: str, E: float, nu: float,
+                     rule: str = "default", table: Optional[ElementTable] = None,
+                     dtype=None):
+    """Per-integration-point stiffness [q, M, 3k, 3k] (weights NOT applied
+    to detJ-scaled contributions beyond their own point).
+
+    Parity with the reference's ``single=False`` K path
+    (solver/element.py:1233-1239: per-ip K_ip * detJ, no weight)."""
+    table = table or element_table(etype, rule)
+    dtype = dtype or coords.dtype
+    g, detJ = shape_gradients(coords, conn, table, dtype)
+    lam, mu = lame_parameters(E, nu)
+    A = jnp.einsum("mq,mqia,mqjb->qmiajb", detJ, g, g)
+    C = jnp.einsum("qmiaja->qmij", A)
+    eye3 = jnp.eye(3, dtype=dtype)
+    K = (lam * A + mu * jnp.transpose(A, (0, 1, 2, 5, 4, 3))
+         + mu * C[:, :, :, None, :, None] * eye3[None, None, None, :, None, :])
+    k = table.n_nodes
+    return K.reshape(K.shape[0], K.shape[1], 3 * k, 3 * k)
+
+
 def stiffness_bmat(coords, conn, etype: str, D, rule: str = "default",
                    table: Optional[ElementTable] = None, dtype=None):
     """Element stiffness via explicit B^T D B (general anisotropic D[6,6])."""

@@ -123,6 +123,23 @@ class _OpFlags:
     use_pallas: bool = False
 
 
+@jax.tree_util.register_static
+@dataclasses.dataclass(frozen=True)
+class _StaticTable:
+    """Hashable static holder for the (tiny) reference-gradient table."""
+
+    data: tuple  # nested tuple [q][k][3]
+
+    @staticmethod
+    def of(arr) -> "_StaticTable":
+        a = np.asarray(jax.device_get(arr), dtype=np.float64)
+        return _StaticTable(tuple(tuple(tuple(r) for r in q) for q in a))
+
+    @property
+    def array(self) -> np.ndarray:
+        return np.asarray(self.data)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class ClusteredOperator:
@@ -200,20 +217,28 @@ class ClusteredPartialOperator:
     """Cluster-structured + geometry-factor SpMV: no element K in memory.
 
     Combines ClusterPlan's MXU one-hot local gather/scatter with the
-    partial-assembly compute of ops.partial (J^-1 and w*detJ only — ~40
-    bytes per c3d10 element instead of 3.6 KB), so ten-million-element
-    2nd-order meshes fit and stream on a single chip."""
+    component-unrolled partial-assembly compute (J^-1 and w*detJ only —
+    ~40 bytes per affine c3d10 element instead of 3.6 KB), so
+    ten-million-element 2nd-order meshes fit and stream on a single chip.
+    The compute path is elementwise-only on M-sized tensors (see
+    ops.partial.pa_apply_components for the layout rationale).
 
-    Jinv: jnp.ndarray     # [Mpad, q, 3, 3] (or [Mpad, 1, 3, 3] affine)
+    ``use_pallas=True`` keeps the one-hot expand/compress in VMEM
+    (required at multi-million-element scale where the materialized
+    one-hot would not fit HBM)."""
+
+    Jinv: jnp.ndarray     # [Mpad, qJ, 9] with qJ in {1, q}
     W: jnp.ndarray        # [Mpad, q] w*detJ (zero rows for padding)
-    dN: jnp.ndarray       # [q, k, 3]
+    dN: _StaticTable      # [q, k, 3] static host constant
     plan: ClusterPlan
     lam_mu: Tuple[float, float]
+    flags: _OpFlags = _OpFlags()
 
     @staticmethod
     def build(coords, conn, etype: str, E: float, nu: float,
               rule: str = "default", plan: Optional[ClusterPlan] = None,
-              affine: Optional[bool] = None, dtype=None, **plan_kw
+              affine: Optional[bool] = None, dtype=None,
+              use_pallas: bool = False, **plan_kw
               ) -> "ClusteredPartialOperator":
         from ..core.materials import lame_parameters
         from ..elements.solid import det3x3, inv3x3, jacobians
@@ -235,44 +260,56 @@ class ClusteredPartialOperator:
             affine = bool(jax.device_get(spread) < 1e-4)
         if affine:
             Jinv = Jinv[:, :1]
+        Jflat = Jinv.reshape(Jinv.shape[0], Jinv.shape[1], 9)
         Mpad = m.n_clusters * m.elems_per_cluster
         pad = Mpad - conn.shape[0]
         if pad:
-            Jinv = jnp.concatenate(
-                [Jinv, jnp.broadcast_to(jnp.eye(3, dtype=dtype),
-                                        (pad, Jinv.shape[1], 3, 3))], axis=0)
+            Jflat = jnp.concatenate(
+                [Jflat, jnp.zeros((pad, Jflat.shape[1], 9), dtype)], axis=0)
             W = jnp.concatenate([W, jnp.zeros((pad, W.shape[1]), dtype)],
                                 axis=0)
         return ClusteredPartialOperator(
-            Jinv=Jinv, W=W, dN=jnp.asarray(table.dN, dtype), plan=plan,
+            Jinv=Jflat, W=W, dN=_StaticTable.of(table.dN), plan=plan,
             lam_mu=(float(lame_parameters(E, nu)[0]),
-                    float(lame_parameters(E, nu)[1])))
+                    float(lame_parameters(E, nu)[1])),
+            flags=_OpFlags(use_pallas))
 
-    def _jinv_b(self):
-        if self.Jinv.shape[1] == 1 and self.W.shape[1] > 1:
-            return jnp.broadcast_to(
-                self.Jinv, (self.Jinv.shape[0], self.W.shape[1], 3, 3))
-        return self.Jinv
+    def _expand(self, u):
+        """u[N, nd] -> tuple of nd arrays [Mpad, k] (element nodal values)."""
+        m = self.plan.meta
+        B, L, E_c = m.n_clusters, m.l_max, m.elems_per_cluster
+        k = self.dN.array.shape[1]
+        Uc = u[self.plan.l2g]                               # [B, L, nd]
+        if self.flags.use_pallas:
+            from .pallas_kernels import cluster_expand
+            ue = cluster_expand(self.plan.lconn.reshape(B, -1), Uc)
+        else:
+            oh = self.plan.onehot(u.dtype)
+            ue = jnp.einsum("bel,blc->bec", oh, Uc)         # [B, R, nd]
+        return tuple(ue[..., c].reshape(B * E_c, k) for c in range(3))
+
+    def _compress(self, Fe_cols, dtype):
+        """tuple of nd arrays [Mpad, k] -> Yc [B, L, nd]."""
+        m = self.plan.meta
+        B, L = m.n_clusters, m.l_max
+        Fe = jnp.stack([f.reshape(B, -1) for f in Fe_cols], axis=-1)  # [B,R,nd]
+        if self.flags.use_pallas:
+            from .pallas_kernels import cluster_compress
+            return cluster_compress(self.plan.lconn.reshape(B, -1), Fe, L)
+        oh = self.plan.onehot(dtype)
+        return jnp.einsum("bel,bec->blc", oh, Fe)
 
     def __call__(self, u):
+        from .partial import pa_apply_components
+
         m = self.plan.meta
         nd = m.dof_per_node
         B, L = m.n_clusters, m.l_max
         lam, mu = self.lam_mu
-        oh = self.plan.onehot(u.dtype)
-        Uc = u[self.plan.l2g]
-        ue = jnp.einsum("bel,blc->bec", oh, Uc)            # [B, R, nd]
-        k = self.dN.shape[1]
-        ue_e = ue.reshape(-1, k, nd)                       # [Mpad, k, nd]
-        Ji = self._jinv_b()
-        Hhat = jnp.einsum("qka,mkb->mqab", self.dN, ue_e)
-        H = jnp.einsum("mqij,mqjb->mqib", Ji, Hhat)
-        eps = 0.5 * (H + jnp.swapaxes(H, -1, -2))
-        tr = eps[..., 0, 0] + eps[..., 1, 1] + eps[..., 2, 2]
-        sig = 2.0 * mu * eps + (lam * tr)[..., None, None] * jnp.eye(3, dtype=u.dtype)
-        T = jnp.einsum("mq,mqij,mqib->mqjb", self.W, Ji, sig)
-        Fe = jnp.einsum("qkj,mqjb->mkb", self.dN, T)       # [Mpad, k, nd]
-        Yc = jnp.einsum("bel,bec->blc", oh, Fe.reshape(B, -1, nd))
+        ue_cols = self._expand(u)
+        Fe_cols = pa_apply_components(ue_cols, self.Jinv, self.W,
+                                      self.dN.array, lam, mu)
+        Yc = self._compress(Fe_cols, u.dtype)
         rows = Yc.reshape(B * L, nd)
         zero = jnp.zeros((1, nd), rows.dtype)
         padded = jnp.concatenate([rows, zero], axis=0)
@@ -286,12 +323,25 @@ class ClusteredPartialOperator:
         nd = m.dof_per_node
         B, L = m.n_clusters, m.l_max
         lam, mu = self.lam_mu
-        g = jnp.einsum("mqij,qkj->mqki", self._jinv_b(), self.dN)
-        g2 = jnp.einsum("mq,mqka,mqka->mka", self.W, g, g)
-        norm2 = jnp.sum(g2, axis=-1, keepdims=True)
-        d = (lam + mu) * g2 + mu * norm2                   # [Mpad, k, nd]
-        oh = self.plan.onehot(self.W.dtype)
-        Yc = jnp.einsum("bel,bec->blc", oh, d.reshape(B, -1, nd))
+        q = self.W.shape[1]
+        qJ = self.Jinv.shape[1]
+        dN = self.dN.array
+        k = dN.shape[1]
+        # d[3i+a] = sum_q W ((lam+mu) g_ia^2 + mu |g_i|^2), component form
+        d_cols = [None, None, None]
+        for qi in range(q):
+            Wq = self.W[:, qi]
+            for a in range(3):
+                col = []
+                for kk in range(k):
+                    g = [sum(float(dN[qi, kk, j]) *
+                             self.Jinv[:, min(qi, qJ - 1), 3 * i + j]
+                             for j in range(3)) for i in range(3)]
+                    norm2 = g[0] * g[0] + g[1] * g[1] + g[2] * g[2]
+                    col.append(Wq * ((lam + mu) * g[a] * g[a] + mu * norm2))
+                col = jnp.stack(col, axis=1)               # [Mpad, k]
+                d_cols[a] = col if d_cols[a] is None else d_cols[a] + col
+        Yc = self._compress(tuple(d_cols), self.W.dtype)
         rows = Yc.reshape(B * L, nd)
         zero = jnp.zeros((1, nd), rows.dtype)
         padded = jnp.concatenate([rows, zero], axis=0)

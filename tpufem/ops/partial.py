@@ -31,6 +31,76 @@ from ..elements.tables import ElementTable, element_table
 from .scatter import ScatterPlan
 
 
+def pa_apply_components(ue_cols, Jinv_cols, W, dN, lam, mu):
+    """Component-unrolled partial-assembly action (layout-safe at scale).
+
+    On TPU, dot_generals that contract size-3 dims on M-sized tensors force
+    3-wide lane layouts with up to 56x padding (measured OOM at 1M
+    elements).  This form uses only elementwise [M]-vector chains (XLA
+    fuses them into one pass over elements) and static Python unrolls over
+    (q, k, 3x3).
+
+    Args:
+      ue_cols: tuple of 3 arrays [M, k] — element nodal values per component.
+      Jinv_cols: [M, qJ, 9] with qJ in {1, q} — J^-1 entries (row-major).
+      W: [M, q] — w * detJ.
+      dN: numpy/jnp [q, k, 3] reference gradients (constants).
+    Returns:
+      tuple of 3 arrays [M, k] — element nodal forces per component.
+    """
+    q = W.shape[1]
+    k = ue_cols[0].shape[1]
+    qJ = Jinv_cols.shape[1]
+    dN = np.asarray(dN)  # must be a host constant (not traced)
+    Fe = [[None] * k for _ in range(3)]
+    for qi in range(q):
+        Ji = [[Jinv_cols[:, min(qi, qJ - 1), 3 * i + j] for j in range(3)]
+              for i in range(3)]
+        # Hhat[a][c] = sum_k dN[qi, k, a] ue_c[:, k]
+        Hhat = [[None] * 3 for _ in range(3)]
+        for a in range(3):
+            for c in range(3):
+                acc = None
+                for kk in range(k):
+                    w = float(dN[qi, kk, a])
+                    if w == 0.0:
+                        continue
+                    term = w * ue_cols[c][:, kk]
+                    acc = term if acc is None else acc + term
+                Hhat[a][c] = acc if acc is not None else 0.0
+        # H[i][c] = sum_j Jinv[i][j] Hhat[j][c]
+        H = [[sum(Ji[i][j] * Hhat[j][c] for j in range(3)) for c in range(3)]
+             for i in range(3)]
+        # sig = lam tr(eps) I + 2 mu eps, eps = sym(H)
+        tr = H[0][0] + H[1][1] + H[2][2]
+        sig = [[mu * (H[i][c] + H[c][i]) for c in range(3)] for i in range(3)]
+        for i in range(3):
+            sig[i][i] = sig[i][i] + lam * tr
+        # T[j][c] = W * sum_i Jinv[i][j] sig[i][c]
+        Wq = W[:, qi]
+        T = [[Wq * sum(Ji[i][j] * sig[i][c] for i in range(3))
+              for c in range(3)] for j in range(3)]
+        # Fe_c[:, kk] += sum_j dN[qi, kk, j] T[j][c]
+        for c in range(3):
+            for kk in range(k):
+                acc = None
+                for j in range(3):
+                    w = float(dN[qi, kk, j])
+                    if w == 0.0:
+                        continue
+                    term = w * T[j][c]
+                    acc = term if acc is None else acc + term
+                if acc is None:
+                    continue
+                prev = Fe[c][kk]
+                Fe[c][kk] = acc if prev is None else prev + acc
+    zero = jnp.zeros_like(W[:, 0])
+    return tuple(
+        jnp.stack([Fe[c][kk] if Fe[c][kk] is not None else zero
+                   for kk in range(k)], axis=1)
+        for c in range(3))
+
+
 @jax.tree_util.register_static
 @dataclasses.dataclass(frozen=True)
 class _PAMeta:

@@ -102,6 +102,22 @@ def visualize_target_nodes(coords, node_ids=None, marker_size=2.0,
     return fig
 
 
+def visualize_surface_with_red_nodes(coords, elements, node_ids=None,
+                                     element_type="c3d4", show=False):
+    """Boundary surface + highlighted nodes (reference element.py:2716)."""
+    go = _require_plotly()
+    fig = visualize_mesh(coords, elements, element_type)
+    coords = _as_np(coords)
+    if node_ids is not None:
+        sel = coords[_as_np(node_ids)]
+        fig.add_trace(go.Scatter3d(
+            x=sel[:, 0], y=sel[:, 1], z=sel[:, 2], mode="markers",
+            marker=dict(size=4, color="red")))
+    if show:
+        fig.show()
+    return fig
+
+
 def visualize_surface_with_normals(coords, elements, element_type="c3d4",
                                    scale: float = 0.1, show=False):
     """Boundary faces + outward normal cones (reference element.py:2754)."""
