@@ -181,21 +181,28 @@ def test_constraints_rbe3_weighted_average():
     np.testing.assert_allclose(out[0], [(1 + 4 + 3) / 4, 2 / 4, 4 / 4])
 
 
-def test_chunked_scatter_matches_one_level():
-    """Two-stage chunked scatter == one-level == sorted segment sum."""
+def test_packed_and_chunked_scatter_match_sorted(monkeypatch):
+    """Packed / chunked+packed combine modes == sorted segment sum."""
+    from tpufem.ops import scatter as sc
+
     coords, conn = meshgen.box_tet(4, 4, 4)
     N = coords.shape[0]
-    K = solid.stiffness(jnp.asarray(coords), jnp.asarray(conn), "c3d4", E, NU)
-    p1 = ScatterPlan.build(conn, N, 3)                      # one-level
-    p2 = ScatterPlan.build(conn, N, 3, chunk_rows=400)      # force chunks
-    assert not p1.meta.chunked and p2.meta.chunked
+    p1 = ScatterPlan.build(conn, N, 3)                # plain single-level
+    assert p1.combine.meta.pack == 1 and not p1.combine.meta.chunked
+    # force row packing (table budget below n_rows)
+    monkeypatch.setattr(sc, "_TAKE_FAST_ROWS", 200)
+    monkeypatch.setattr(sc, "_PACK_ABOVE_ROWS", 200)
+    p2 = ScatterPlan.build(conn, N, 3)
+    assert p2.combine.meta.pack > 1 and not p2.combine.meta.chunked
+    # force chunking + packing + recursive child plan
+    monkeypatch.setattr(sc, "_TAKE_FAST_ROWS", 40)
+    monkeypatch.setattr(sc, "_MAX_PACK", 2)
+    p3 = ScatterPlan.build(conn, N, 3)
+    assert p3.combine.meta.chunked and p3.combine.child is not None
     Fe = jnp.asarray(np.random.default_rng(0).standard_normal(
         (conn.shape[0], 12)))
-    y1 = np.asarray(p1.scatter(Fe))
-    y2 = np.asarray(p2.scatter(Fe))
-    y3 = np.asarray(p1.scatter_sorted(Fe))
-    np.testing.assert_allclose(y1, y3, rtol=1e-12)
-    np.testing.assert_allclose(y2, y3, rtol=1e-12)
-    # determinism of the chunked path
-    y2b = np.asarray(p2.scatter(Fe))
-    assert np.array_equal(y2, y2b)
+    ref = np.asarray(p1.scatter_sorted(Fe))
+    for p in (p1, p2, p3):
+        y = np.asarray(p.scatter(Fe))
+        np.testing.assert_allclose(y, ref, rtol=1e-12)
+        assert np.array_equal(y, np.asarray(p.scatter(Fe)))  # deterministic

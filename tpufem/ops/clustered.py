@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .scatter import ScatterPlan, _classed_bins
+from .scatter import CombinePlan
 
 
 @jax.tree_util.register_static
@@ -37,7 +37,6 @@ class _CMeta:
     n_clusters: int
     elems_per_cluster: int
     l_max: int
-    combine_widths: Tuple[int, ...]
 
 
 @jax.tree_util.register_dataclass
@@ -45,8 +44,7 @@ class _CMeta:
 class ClusterPlan:
     l2g: jnp.ndarray          # [B, L] int32 global node per cluster slot
     lconn: jnp.ndarray        # [B, E_c, k] int32 local slot per element node
-    combine_inc: Tuple[jnp.ndarray, ...]  # bins into Y_flat [B*L (+1), nd]
-    inv_order: jnp.ndarray    # [N] int32 node -> emitted position
+    combine: CombinePlan      # Y_flat [B*L, nd] rows -> per-node sums [N, nd]
     meta: _CMeta
 
     @staticmethod
@@ -93,19 +91,17 @@ class ClusterPlan:
         lconn_flat = np.empty_like(rows)
         np.put_along_axis(lconn_flat, order, slot_sorted, axis=1)
         lconn = lconn_flat.reshape(B, E_c, k)
-        # combine entries: (node, stage-1 position) for real slots only
+        # combine entries: (node, cluster-slot position) for real slots only;
+        # chunked by cluster blocks so each take source stays ~400 KB
         keys = srt[is_first]
         pos = (bidx * l_max + slot_sorted)[is_first]
-        classes, key_order = _classed_bins(keys, pos, B * l_max)
-        inv_order = np.full(n_nodes, key_order.size, np.int64)
-        inv_order[key_order] = np.arange(key_order.size)
+        combine = CombinePlan.build(keys, pos, B * l_max, n_nodes,
+                                    row_align=l_max)
         return ClusterPlan(
             l2g=jnp.asarray(l2g.astype(np.int32)),
             lconn=jnp.asarray(lconn.astype(np.int32)),
-            combine_inc=tuple(jnp.asarray(arr) for _, arr in classes),
-            inv_order=jnp.asarray(inv_order.astype(np.int32)),
-            meta=_CMeta(n_nodes, dof_per_node, B, E_c, l_max,
-                        tuple(w for w, _ in classes)),
+            combine=combine,
+            meta=_CMeta(n_nodes, dof_per_node, B, E_c, l_max),
         )
 
     def onehot(self, dtype):
@@ -187,13 +183,7 @@ class ClusteredOperator:
                             ue.reshape(B, E_c, -1))        # batched GEMV
             Yc = jnp.einsum("bel,bec->blc", oh,
                             Fe.reshape(B, -1, nd))         # compress
-        rows = Yc.reshape(B * L, nd)
-        zero = jnp.zeros((1, nd), rows.dtype)
-        padded = jnp.concatenate([rows, zero], axis=0)
-        parts = [ScatterPlan._take_reduce(padded, inc_c, w, nd)
-                 for inc_c, w in zip(self.plan.combine_inc, m.combine_widths)]
-        y_sorted = jnp.concatenate(parts + [zero], axis=0)
-        return jnp.take(y_sorted, self.plan.inv_order, axis=0)
+        return self.plan.combine(Yc.reshape(B * L, nd))
 
     def diagonal(self):
         m = self.plan.meta
@@ -202,13 +192,7 @@ class ClusteredOperator:
         d = jnp.diagonal(self.K, axis1=2, axis2=3)         # [B, E_c, d]
         oh = self.plan.onehot(self.K.dtype)
         Yc = jnp.einsum("bel,bec->blc", oh, d.reshape(B, -1, nd))
-        rows = Yc.reshape(B * L, nd)
-        zero = jnp.zeros((1, nd), rows.dtype)
-        padded = jnp.concatenate([rows, zero], axis=0)
-        parts = [ScatterPlan._take_reduce(padded, inc_c, w, nd)
-                 for inc_c, w in zip(self.plan.combine_inc, m.combine_widths)]
-        y_sorted = jnp.concatenate(parts + [zero], axis=0)
-        return jnp.take(y_sorted, self.plan.inv_order, axis=0).reshape(-1)
+        return self.plan.combine(Yc.reshape(B * L, nd)).reshape(-1)
 
 
 @jax.tree_util.register_dataclass
@@ -310,13 +294,7 @@ class ClusteredPartialOperator:
         Fe_cols = pa_apply_components(ue_cols, self.Jinv, self.W,
                                       self.dN.array, lam, mu)
         Yc = self._compress(Fe_cols, u.dtype)
-        rows = Yc.reshape(B * L, nd)
-        zero = jnp.zeros((1, nd), rows.dtype)
-        padded = jnp.concatenate([rows, zero], axis=0)
-        parts = [ScatterPlan._take_reduce(padded, inc_c, w, nd)
-                 for inc_c, w in zip(self.plan.combine_inc, m.combine_widths)]
-        y_sorted = jnp.concatenate(parts + [zero], axis=0)
-        return jnp.take(y_sorted, self.plan.inv_order, axis=0)
+        return self.plan.combine(Yc.reshape(B * L, nd))
 
     def diagonal(self):
         m = self.plan.meta
@@ -342,10 +320,4 @@ class ClusteredPartialOperator:
                 col = jnp.stack(col, axis=1)               # [Mpad, k]
                 d_cols[a] = col if d_cols[a] is None else d_cols[a] + col
         Yc = self._compress(tuple(d_cols), self.W.dtype)
-        rows = Yc.reshape(B * L, nd)
-        zero = jnp.zeros((1, nd), rows.dtype)
-        padded = jnp.concatenate([rows, zero], axis=0)
-        parts = [ScatterPlan._take_reduce(padded, inc_c, w, nd)
-                 for inc_c, w in zip(self.plan.combine_inc, m.combine_widths)]
-        y_sorted = jnp.concatenate(parts + [zero], axis=0)
-        return jnp.take(y_sorted, self.plan.inv_order, axis=0).reshape(-1)
+        return self.plan.combine(Yc.reshape(B * L, nd)).reshape(-1)

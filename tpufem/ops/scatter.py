@@ -27,7 +27,7 @@ value-stream assembly (BSR) and as a validation fallback.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -105,6 +105,227 @@ def _classed_bins(keys: np.ndarray, positions: np.ndarray, pad_index: int,
     return classes, key_order
 
 
+# Measured on v5e: jnp.take row gathers run at ~2.2 ns/row while the source
+# table has fewer than ~200k ROWS (independent of row width — a 61 MB
+# 120k x 128 table is still fast), and degrade to ~5.5 ns/row above ~250k
+# rows.  Row PACKING (s consecutive source rows merged into one s*nd-wide
+# row, column recovered post-gather by a one-hot multiply) keeps the table
+# under that budget — but the post-gather select measurably costs ~4 ns per
+# entry on top of the gather (XLA fuses the gather into the select loop),
+# so packing only pays off once the table is several times past the fast
+# zone; below _PACK_ABOVE_ROWS a plain single-level reduce is fastest.
+_TAKE_FAST_ROWS = 150_000
+_PACK_ABOVE_ROWS = 400_000
+_MAX_PACK = 8
+
+
+def _packed_classes(keys, positions, n_rows: int, max_classes: int):
+    """Classed bins with a pack factor keeping the take table small.
+
+    Returns (s, classes) where classes = [(w, inc_rows, cols)] and
+    inc_rows index the packed table [ceil(n_rows/s) (+1 zero row), s*nd];
+    padding entries point at the zero row, column 0.
+    """
+    s = 1
+    if n_rows > _PACK_ABOVE_ROWS:
+        while s < _MAX_PACK and -(-n_rows // s) > _TAKE_FAST_ROWS:
+            s *= 2
+    raw, key_order = _classed_bins(keys, positions, n_rows, max_classes)
+    R = -(-n_rows // s)
+    classes = []
+    for w, inc in raw:
+        if s == 1:
+            classes.append((w, inc, None))
+        else:
+            pad = inc == n_rows
+            rows = np.where(pad, R, inc // s).astype(np.int32)
+            cols = np.where(pad, 0, inc % s).astype(np.int32)
+            classes.append((w, rows, cols))
+    return s, classes, key_order
+
+
+def _apply_packed_classes(rows, s, inc, sel, widths, nd):
+    """rows [n_rows, nd] -> concatenated per-class reduced sums (+ zero)."""
+    zero = jnp.zeros((1, nd), rows.dtype)
+    if s == 1:
+        padded = jnp.concatenate([rows, zero], axis=0)
+        parts = [ScatterPlan._take_reduce(padded, ic, w, nd)
+                 for ic, w in zip(inc, widths)]
+        return jnp.concatenate(parts + [zero], axis=0)
+    n_rows = rows.shape[0]
+    R = -(-n_rows // s)
+    pad = R * s - n_rows
+    tab = jnp.concatenate(
+        [rows, jnp.zeros((pad + s, nd), rows.dtype)], axis=0
+    ).reshape(R + 1, s * nd)
+    # slot mask computed in the s*nd-lane layout: every op below keeps the
+    # minor dimension at s*nd (splitting it to (s, nd) would relayout)
+    iota_slot = jax.lax.broadcasted_iota(jnp.int32, (1, s * nd), 1) // nd
+    parts = []
+    for ic, sl, w in zip(inc, sel, widths):
+        g = jnp.take(tab, ic, axis=0)                       # [n_c*w, s*nd]
+        msk = (sl[:, None] == iota_slot).astype(rows.dtype)
+        y_wide = (g * msk).reshape(-1, w, s * nd).sum(axis=1)
+        y = y_wide[:, :nd]
+        for t in range(1, s):
+            y = y + y_wide[:, t * nd:(t + 1) * nd]
+        parts.append(y)
+    return jnp.concatenate(parts + [jnp.zeros((1, nd), rows.dtype)], axis=0)
+
+
+@jax.tree_util.register_static
+@dataclasses.dataclass(frozen=True)
+class _CombineMeta:
+    n_keys: int
+    n_rows: int
+    pack: int                                        # source pack factor
+    class_widths: Tuple[int, ...]                    # single-level classes
+    chunk_bounds: Tuple[int, ...]                    # chunked mode
+    chunk_class_widths: Tuple[Tuple[int, ...], ...]
+    chunk_packs: Tuple[int, ...]
+    final_pack: int                                  # y_sorted take pack
+
+    @property
+    def chunked(self) -> bool:
+        return len(self.chunk_bounds) > 0
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CombinePlan:
+    """Deterministic per-key reduce of value rows: y[key] = sum(rows[pos]).
+
+    Generalizes the classed-bin reduction to arbitrary (key, position)
+    incidence lists (the cluster-structured operators hand it cluster-slot
+    positions; ScatterPlan hands it element rows).  All take source tables
+    are kept under the measured ~200k-row fast-path budget by row packing
+    (see `_TAKE_FAST_ROWS`); sources too large even at max pack are split
+    into position chunks whose per-chunk partial sums feed a recursively
+    built child plan.  Bitwise deterministic: fixed bins, fixed order.
+    """
+
+    inc: Tuple[jnp.ndarray, ...]                     # single-level rows
+    sel: Tuple[Optional[jnp.ndarray], ...]           # packed columns
+    chunk_inc: Tuple[Tuple[jnp.ndarray, ...], ...]
+    chunk_sel: Tuple[Tuple[Optional[jnp.ndarray], ...], ...]
+    child: Optional["CombinePlan"]                   # chunked mode only
+    inv_order: Optional[jnp.ndarray]  # [n_keys] -> emitted pos (missing->0)
+    inv_col: Optional[jnp.ndarray]    # packed final take column
+    meta: _CombineMeta
+
+    @staticmethod
+    def build(keys, positions, n_rows: int, n_keys: int,
+              row_align: int = 1, max_classes: int = 4,
+              _depth: int = 0) -> "CombinePlan":
+        keys = np.asarray(keys, np.int64)
+        positions = np.asarray(positions, np.int64)
+        if (-(-n_rows // _MAX_PACK) <= _TAKE_FAST_ROWS or _depth >= 3):
+            s, classes, key_order = _packed_classes(keys, positions, n_rows,
+                                                    max_classes)
+            K_tot = sum(-(-a.size // w) for w, a, _ in classes) + 1
+            fs = 1
+            if K_tot > _PACK_ABOVE_ROWS:
+                while fs < _MAX_PACK and -(-K_tot // fs) > _TAKE_FAST_ROWS:
+                    fs *= 2
+            inv_order = np.full(n_keys, key_order.size, np.int64)
+            inv_order[key_order] = np.arange(key_order.size)
+            if fs == 1:
+                inv_row, inv_col = inv_order.astype(np.int32), None
+            else:
+                Rf = -(-K_tot // fs)
+                padk = inv_order == key_order.size
+                inv_row = np.where(padk, Rf, inv_order // fs).astype(np.int32)
+                inv_col = jnp.asarray(
+                    np.where(padk, 0, inv_order % fs).astype(np.int32))
+            return CombinePlan(
+                inc=tuple(jnp.asarray(r) for _, r, _ in classes),
+                sel=tuple(None if c is None else jnp.asarray(c)
+                          for _, _, c in classes),
+                chunk_inc=(), chunk_sel=(), child=None,
+                inv_order=jnp.asarray(inv_row),
+                inv_col=inv_col,
+                meta=_CombineMeta(n_keys, n_rows, s,
+                                  tuple(w for w, _, _ in classes),
+                                  (), (), (), fs),
+            )
+        # ---- chunk by position, pack each chunk, recurse on partials ----
+        n_chunks = min(-(-n_rows // (_TAKE_FAST_ROWS * _MAX_PACK)),
+                       _MAX_UNROLL_CHUNKS)
+        rpc = -(-n_rows // n_chunks)
+        rpc = -(-rpc // row_align) * row_align
+        bounds = list(range(0, n_rows, rpc)) + [n_rows]
+        if bounds[-1] == bounds[-2]:
+            bounds.pop()
+        cid = np.searchsorted(np.asarray(bounds), positions,
+                              side="right") - 1
+        chunk_inc: List[Tuple[jnp.ndarray, ...]] = []
+        chunk_sel: List[Tuple[Optional[jnp.ndarray], ...]] = []
+        chunk_widths: List[Tuple[int, ...]] = []
+        chunk_packs: List[int] = []
+        sub_keys: List[np.ndarray] = []
+        for ci in range(len(bounds) - 1):
+            a, b = bounds[ci], bounds[ci + 1]
+            m = cid == ci
+            s, classes, key_order = _packed_classes(
+                keys[m], positions[m] - a, b - a, max_classes)
+            chunk_inc.append(tuple(jnp.asarray(r) for _, r, _ in classes))
+            chunk_sel.append(tuple(None if c is None else jnp.asarray(c)
+                                   for _, _, c in classes))
+            chunk_widths.append(tuple(w for w, _, _ in classes))
+            chunk_packs.append(s)
+            sub_keys.append(key_order)
+        sub_all = (np.concatenate(sub_keys) if sub_keys
+                   else np.zeros(0, np.int64))
+        # stage-1 emission appends one zero row per chunk-class group + 1
+        T = sub_all.size
+        # positions of sub_keys within the concatenated stage-1 output:
+        # class outputs are emitted back to back WITHOUT the zero rows
+        # (apply slices them off), so positions are simply arange(T).
+        child = CombinePlan.build(sub_all, np.arange(T), T, n_keys,
+                                  max_classes=max_classes, _depth=_depth + 1)
+        return CombinePlan(
+            inc=(), sel=(), chunk_inc=tuple(chunk_inc),
+            chunk_sel=tuple(chunk_sel), child=child,
+            inv_order=None, inv_col=None,
+            meta=_CombineMeta(n_keys, n_rows, 0, (), tuple(bounds),
+                              tuple(chunk_widths), tuple(chunk_packs), 1),
+        )
+
+    def __call__(self, rows):
+        """rows [n_rows, nd] -> per-key sums [n_keys, nd]."""
+        m = self.meta
+        nd = rows.shape[-1]
+        if m.chunked:
+            partials = []
+            for ci in range(len(m.chunk_bounds) - 1):
+                a, b = m.chunk_bounds[ci], m.chunk_bounds[ci + 1]
+                out = _apply_packed_classes(
+                    rows[a:b], m.chunk_packs[ci], self.chunk_inc[ci],
+                    self.chunk_sel[ci], m.chunk_class_widths[ci], nd)
+                partials.append(out[:-1])            # drop trailing zero row
+            s1 = jnp.concatenate(partials, axis=0)
+            return self.child(s1)
+        y_sorted = _apply_packed_classes(rows, m.pack, self.inc, self.sel,
+                                         m.class_widths, nd)
+        if m.final_pack == 1:
+            return jnp.take(y_sorted, self.inv_order, axis=0)
+        fs = m.final_pack
+        K_tot = y_sorted.shape[0]
+        Rf = -(-K_tot // fs)
+        pad = Rf * fs - K_tot
+        tab = jnp.concatenate(
+            [y_sorted, jnp.zeros((pad + fs, nd), y_sorted.dtype)], axis=0
+        ).reshape(Rf + 1, fs * nd)
+        g = jnp.take(tab, self.inv_order, axis=0)           # [n_keys, fs*nd]
+        iota_slot = jax.lax.broadcasted_iota(jnp.int32, (1, fs * nd),
+                                             1) // nd
+        gm = g * (self.inv_col[:, None] == iota_slot).astype(rows.dtype)
+        y = gm[:, :nd]
+        for t in range(1, fs):
+            y = y + gm[:, t * nd:(t + 1) * nd]
+        return y
+
+
 @jax.tree_util.register_static
 @dataclasses.dataclass(frozen=True)
 class _PlanMeta:
@@ -112,14 +333,10 @@ class _PlanMeta:
     n_nodes: int
     dof_per_node: int
     n_rows: int                                      # M * k
-    class_widths: Tuple[int, ...]                    # 1-level mode
-    chunk_bounds: Tuple[int, ...]                    # 2-level: row offsets
-    chunk_class_widths: Tuple[Tuple[int, ...], ...]  # per chunk
-    stage2_widths: Tuple[int, ...]
 
     @property
-    def chunked(self) -> bool:
-        return len(self.chunk_bounds) > 0
+    def chunked(self) -> bool:  # retained for introspection compat
+        return False
 
 
 @jax.tree_util.register_dataclass
@@ -129,10 +346,7 @@ class ScatterPlan:
 
     conn: jnp.ndarray      # [M, k] int32 — row-gather indices
     dofs: jnp.ndarray      # [M, k*nd] int32 — flat DOF ids (assembly/compat)
-    inc: Tuple[jnp.ndarray, ...]       # 1-level per-class flat bins
-    chunk_inc: Tuple[Tuple[jnp.ndarray, ...], ...]  # 2-level stage 1
-    stage2_inc: Tuple[jnp.ndarray, ...]             # 2-level stage 2
-    inv_order: jnp.ndarray # [N] int32 — node -> emitted-bin position
+    combine: CombinePlan   # element rows [M*k, nd] -> per-node sums
     perm: jnp.ndarray      # [M*k*nd] int32 stable sort (assembly fallback)
     segments: jnp.ndarray  # [M*k*nd] int32 sorted DOF ids
     meta: _PlanMeta
@@ -144,8 +358,7 @@ class ScatterPlan:
     # ------------------------------------------------------------------
     @staticmethod
     def build(conn, n_nodes: int, dof_per_node: int = 3,
-              max_classes: int = 4, chunk_rows: int = _CHUNK_ROWS
-              ) -> "ScatterPlan":
+              max_classes: int = 4) -> "ScatterPlan":
         conn = np.asarray(conn)
         M, k = conn.shape
         nd = dof_per_node
@@ -154,60 +367,16 @@ class ScatterPlan:
         flat = dofs.reshape(-1)
         perm = _stable_argsort_i32(flat)
         segments = flat[perm]
-
         rows_node = conn.reshape(-1).astype(np.int64)  # node per (e, l) row
-
-        if n_rows <= chunk_rows:
-            classes, key_order = _classed_bins(
-                rows_node, np.arange(n_rows), n_rows, max_classes)
-            inv_order = np.full(n_nodes, len(key_order), np.int64)
-            inv_order[key_order] = np.arange(key_order.size)
-            return ScatterPlan(
-                conn=jnp.asarray(conn.astype(np.int32)),
-                dofs=jnp.asarray(dofs),
-                inc=tuple(jnp.asarray(a) for _, a in classes),
-                chunk_inc=(), stage2_inc=(),
-                inv_order=jnp.asarray(inv_order.astype(np.int32)),
-                perm=jnp.asarray(perm), segments=jnp.asarray(segments),
-                meta=_PlanMeta(n_nodes * nd, n_nodes, nd, n_rows,
-                               tuple(w for w, _ in classes), (), (), ()),
-            )
-
-        # ---- two-stage chunked build ----------------------------------
-        n_chunks = min(-(-n_rows // chunk_rows), _MAX_UNROLL_CHUNKS)
-        rows_per_chunk = -(-n_rows // n_chunks)
-        rows_per_chunk = -(-rows_per_chunk // k) * k  # element-aligned
-        bounds = list(range(0, n_rows, rows_per_chunk)) + [n_rows]
-
-        chunk_inc: List[Tuple[jnp.ndarray, ...]] = []
-        chunk_widths: List[Tuple[int, ...]] = []
-        sub_nodes: List[np.ndarray] = []
-        for ci in range(len(bounds) - 1):
-            a, b = bounds[ci], bounds[ci + 1]
-            local_nodes = rows_node[a:b]
-            classes, key_order = _classed_bins(
-                local_nodes, np.arange(b - a), b - a, max_classes)
-            chunk_inc.append(tuple(jnp.asarray(arr) for _, arr in classes))
-            chunk_widths.append(tuple(w for w, _ in classes))
-            sub_nodes.append(key_order)
-        sub_nodes_all = np.concatenate(sub_nodes)
-        T = sub_nodes_all.size
-        classes2, key_order2 = _classed_bins(
-            sub_nodes_all, np.arange(T), T, max_classes)
-        inv_order = np.full(n_nodes, key_order2.size, np.int64)
-        inv_order[key_order2] = np.arange(key_order2.size)
-
+        combine = CombinePlan.build(rows_node, np.arange(n_rows), n_rows,
+                                    n_nodes, row_align=k,
+                                    max_classes=max_classes)
         return ScatterPlan(
             conn=jnp.asarray(conn.astype(np.int32)),
             dofs=jnp.asarray(dofs),
-            inc=(),
-            chunk_inc=tuple(chunk_inc),
-            stage2_inc=tuple(jnp.asarray(a) for _, a in classes2),
-            inv_order=jnp.asarray(inv_order.astype(np.int32)),
+            combine=combine,
             perm=jnp.asarray(perm), segments=jnp.asarray(segments),
-            meta=_PlanMeta(n_nodes * nd, n_nodes, nd, n_rows, (),
-                           tuple(bounds), tuple(chunk_widths),
-                           tuple(w for w, _ in classes2)),
+            meta=_PlanMeta(n_nodes * nd, n_nodes, nd, n_rows),
         )
 
     # -- fast paths ------------------------------------------------------
@@ -230,27 +399,8 @@ class ScatterPlan:
     def scatter(self, element_values):
         """[M, k*nd] element values -> [n_dof] deterministic sum."""
         m = self.meta
-        nd = m.dof_per_node
-        rows = element_values.reshape(m.n_rows, nd)
-        zero = jnp.zeros((1, nd), rows.dtype)
-        if not m.chunked:
-            padded = jnp.concatenate([rows, zero], axis=0)
-            parts = [self._take_reduce(padded, inc_c, w, nd)
-                     for inc_c, w in zip(self.inc, m.class_widths)]
-            y_sorted = jnp.concatenate(parts + [zero], axis=0)
-            return jnp.take(y_sorted, self.inv_order, axis=0).reshape(-1)
-        # two-stage: per-chunk sub-bin partials from small tables
-        partials = []
-        for ci in range(len(m.chunk_bounds) - 1):
-            a, b = m.chunk_bounds[ci], m.chunk_bounds[ci + 1]
-            padded_c = jnp.concatenate([rows[a:b], zero], axis=0)
-            for inc_c, w in zip(self.chunk_inc[ci], m.chunk_class_widths[ci]):
-                partials.append(self._take_reduce(padded_c, inc_c, w, nd))
-        s1 = jnp.concatenate(partials + [zero], axis=0)
-        parts = [self._take_reduce(s1, inc_c, w, nd)
-                 for inc_c, w in zip(self.stage2_inc, m.stage2_widths)]
-        y_sorted = jnp.concatenate(parts + [zero], axis=0)
-        return jnp.take(y_sorted, self.inv_order, axis=0).reshape(-1)
+        rows = element_values.reshape(m.n_rows, m.dof_per_node)
+        return self.combine(rows).reshape(-1)
 
     # -- exact sorted-stream fallback (kept for validation) --------------
     def scatter_sorted(self, element_values):
