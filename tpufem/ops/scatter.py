@@ -144,11 +144,20 @@ def _packed_classes(keys, positions, n_rows: int, max_classes: int):
     return s, classes, key_order
 
 
-def _apply_packed_classes(rows, s, inc, sel, widths, nd):
-    """rows [n_rows, nd] -> concatenated per-class reduced sums (+ zero)."""
+def _apply_packed_classes(rows, s, inc, sel, widths, nd, *,
+                          materialize: bool = False):
+    """rows [n_rows, nd] -> concatenated per-class reduced sums (+ zero).
+
+    ``materialize`` forces the (sliced/packed) take source table through an
+    optimization barrier: without it XLA fuses the slice/concat/reshape
+    into the gather, which then indexes the ORIGINAL large buffer and
+    falls off the take engine's small-table fast path.
+    """
     zero = jnp.zeros((1, nd), rows.dtype)
     if s == 1:
         padded = jnp.concatenate([rows, zero], axis=0)
+        if materialize:
+            padded = jax.lax.optimization_barrier(padded)
         parts = [ScatterPlan._take_reduce(padded, ic, w, nd)
                  for ic, w in zip(inc, widths)]
         return jnp.concatenate(parts + [zero], axis=0)
@@ -158,6 +167,7 @@ def _apply_packed_classes(rows, s, inc, sel, widths, nd):
     tab = jnp.concatenate(
         [rows, jnp.zeros((pad + s, nd), rows.dtype)], axis=0
     ).reshape(R + 1, s * nd)
+    tab = jax.lax.optimization_barrier(tab)
     # slot mask computed in the s*nd-lane layout: every op below keeps the
     # minor dimension at s*nd (splitting it to (s, nd) would relayout)
     iota_slot = jax.lax.broadcasted_iota(jnp.int32, (1, s * nd), 1) // nd
@@ -301,7 +311,8 @@ class CombinePlan:
                 a, b = m.chunk_bounds[ci], m.chunk_bounds[ci + 1]
                 out = _apply_packed_classes(
                     rows[a:b], m.chunk_packs[ci], self.chunk_inc[ci],
-                    self.chunk_sel[ci], m.chunk_class_widths[ci], nd)
+                    self.chunk_sel[ci], m.chunk_class_widths[ci], nd,
+                    materialize=True)
                 partials.append(out[:-1])            # drop trailing zero row
             s1 = jnp.concatenate(partials, axis=0)
             return self.child(s1)

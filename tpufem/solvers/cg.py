@@ -65,7 +65,9 @@ def cg(A: Callable, b, *, constraints: Optional[Constraints] = None,
     ddt = dot_dtype or dtype
 
     def vdot(a, c):
-        return jnp.vdot(a.astype(ddt), c.astype(ddt)).astype(dtype)
+        # jnp.sum over the native [N, nd] layout — jnp.vdot ravels, which
+        # relayouts [N, nd] tiles on TPU every iteration
+        return jnp.sum(a.astype(ddt) * c.astype(ddt)).astype(dtype)
 
     u0 = jnp.zeros_like(b) if x0 is None else x0.astype(dtype)
     u0 = set_state(u0)

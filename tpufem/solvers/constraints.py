@@ -45,6 +45,8 @@ class Constraints:
     rbe3_cid: jnp.ndarray          # [R3] int32 constraint id per entry
     rbe3_master_dofs: jnp.ndarray  # [C3] int32 one master DOF per constraint
     rbe3_weight_sums: jnp.ndarray  # [C3]
+    mask2d: jnp.ndarray        # [N, nd] free_mask reshaped (layout-friendly)
+    spc_const2d: jnp.ndarray   # [N, nd] SPC values scattered (else zeros)
     meta: _CMeta
 
     # -- factory ----------------------------------------------------------
@@ -93,6 +95,10 @@ class Constraints:
             mask[np.asarray(spc_dofs, dtype=np.int64)] = 0.0
         if r2_s:
             mask[np.asarray(r2_s, dtype=np.int64)] = 0.0
+        spc_const = np.zeros(n_dof, dtype=dtype)
+        if spc_dofs:
+            spc_const[np.asarray(spc_dofs, dtype=np.int64)] = \
+                np.asarray(spc_vals, dtype=dtype)
 
         def arr(x, dt):
             return jnp.asarray(np.asarray(x, dtype=dt).reshape(-1))
@@ -108,6 +114,8 @@ class Constraints:
             rbe3_cid=arr(r3_cid, np.int32),
             rbe3_master_dofs=arr(r3_m, np.int32),
             rbe3_weight_sums=arr(r3_ws, dtype),
+            mask2d=jnp.asarray(mask.reshape(n_nodes, nd)),
+            spc_const2d=jnp.asarray(spc_const.reshape(n_nodes, nd)),
             meta=_CMeta(int(n_nodes), nd),
         )
 
@@ -128,6 +136,13 @@ class Constraints:
 
     def apply_state(self, u):
         """Set constrained values on a displacement-like field [N, nd]."""
+        if not (self.rbe2_slave_dofs.size or self.rbe3_slave_dofs.size):
+            # SPC-only fast path: mask + constant add — keeps the [N, nd]
+            # layout (the flat reshape relayouts every CG iteration on TPU)
+            out = u * self.mask2d.astype(u.dtype)
+            if self.spc_values.size:
+                out = out + self.spc_const2d.astype(u.dtype)
+            return out
         uf = self._flat(u)
         if self.spc_dofs.size:
             uf = uf.at[self.spc_dofs].set(self.spc_values.astype(uf.dtype))
@@ -143,7 +158,7 @@ class Constraints:
 
     def project_residual(self, r):
         """Zero constrained entries of a residual-like field [N, nd]."""
-        return (self._flat(r) * self.free_mask.astype(r.dtype)).reshape(self.shape2d)
+        return r * self.mask2d.astype(r.dtype)
 
     @property
     def has_inhomogeneous(self) -> bool:
