@@ -197,6 +197,7 @@ def test_packed_and_chunked_scatter_match_sorted(monkeypatch):
     # force chunking + packing + recursive child plan
     monkeypatch.setattr(sc, "_TAKE_FAST_ROWS", 40)
     monkeypatch.setattr(sc, "_MAX_PACK", 2)
+    monkeypatch.setattr(sc, "_CHUNK_ABOVE_ROWS", 80)
     p3 = ScatterPlan.build(conn, N, 3)
     assert p3.combine.meta.chunked and p3.combine.child is not None
     Fe = jnp.asarray(np.random.default_rng(0).standard_normal(

@@ -105,18 +105,23 @@ def _classed_bins(keys: np.ndarray, positions: np.ndarray, pad_index: int,
     return classes, key_order
 
 
-# Measured on v5e: jnp.take row gathers run at ~2.2 ns/row while the source
-# table has fewer than ~200k ROWS (independent of row width — a 61 MB
-# 120k x 128 table is still fast), and degrade to ~5.5 ns/row above ~250k
-# rows.  Row PACKING (s consecutive source rows merged into one s*nd-wide
-# row, column recovered post-gather by a one-hot multiply) keeps the table
-# under that budget — but the post-gather select measurably costs ~4 ns per
-# entry on top of the gather (XLA fuses the gather into the select loop),
-# so packing only pays off once the table is several times past the fast
-# zone; below _PACK_ABOVE_ROWS a plain single-level reduce is fastest.
+# Measured on v5e (isolated microbenchmarks): jnp.take row gathers run at
+# ~2.2 ns/row while the source table has fewer than ~200k ROWS and ~5.5
+# ns/row above.  [*, nd]-minor arrays are lane-padded to 128 on TPU, so
+# every gathered row and every elementwise pass moves a full 512 B tile
+# line regardless of nd — which is why neither row PACKING (s source rows
+# per s*nd-wide row + post-gather column select) nor position CHUNKING
+# (two-stage reduce over small tables) ever beat the plain single-level
+# reduce in end-to-end measurements (331k rows: single 2.40 ms, s=2/s=4
+# packed 3.6 ms, 2-chunk 2.9 ms; 786k rows: single 6.66 ms, s=8 packed
+# 8.90 ms, 5-chunk 10.6 ms): the extra select/stage passes each cost a
+# full padded pass over the entries.  Both alternate modes are therefore
+# disabled by default but kept implemented + tested (thresholds are
+# module-level so future hardware can re-enable them).
 _TAKE_FAST_ROWS = 150_000
-_PACK_ABOVE_ROWS = 400_000
+_PACK_ABOVE_ROWS = 1 << 62
 _MAX_PACK = 8
+_CHUNK_ABOVE_ROWS = 1 << 62
 
 
 def _packed_classes(keys, positions, n_rows: int, max_classes: int):
@@ -229,7 +234,7 @@ class CombinePlan:
               _depth: int = 0) -> "CombinePlan":
         keys = np.asarray(keys, np.int64)
         positions = np.asarray(positions, np.int64)
-        if (-(-n_rows // _MAX_PACK) <= _TAKE_FAST_ROWS or _depth >= 3):
+        if n_rows <= _CHUNK_ABOVE_ROWS or _depth >= 3:
             s, classes, key_order = _packed_classes(keys, positions, n_rows,
                                                     max_classes)
             K_tot = sum(-(-a.size // w) for w, a, _ in classes) + 1
