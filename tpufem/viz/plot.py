@@ -162,3 +162,10 @@ def visualize_shared_face_forces(coords, elements, element_type,
     if show:
         fig.show()
     return fig
+
+
+# Reference-name aliases (element.py:2834 visualize_shared_face_with_forces,
+# element.py:3066 ..._and_norm — both render interior-face force residuals;
+# the magnitude coloring covers the "_and_norm" variant).
+visualize_shared_face_with_forces = visualize_shared_face_forces
+visualize_shared_face_with_forces_and_norm = visualize_shared_face_forces
