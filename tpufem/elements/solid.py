@@ -8,13 +8,12 @@ and maps the big contractions onto the MXU.  This replaces the reference's
 per-integration-point Python loops that rebuild dN tensors and materialize
 [M,6,dof] B matrices in HBM (solver/element.py:1191-1239, SURVEY.md 3.2).
 
-The default stiffness path never forms B: for isotropic elasticity
-
-    K[3i+a, 3j+b] = sum_q w detJ [ lam g_ia g_jb + mu g_ib g_ja
-                                   + mu delta_ab (g_i . g_j) ]
-
-which is algebraically identical to B^T D B with engineering shears
-(validated against the explicit-B path in tests) at ~1/3 the FLOPs.
+The stiffness path builds the Voigt B matrix directly in a lane-packed
+[M, q, 6, 3k] layout via one constant-tensor MXU contraction and computes
+K = (W D B)^T B as a single batched matmul (Precision.HIGHEST) — [*, 3]-
+minor intermediates are lane-padded 42x on TPU, so the naive outer-product
+/ stack / transpose formulations lose to pure relayout cost (measured;
+PERFORMANCE.md cost model).
 """
 from __future__ import annotations
 
@@ -110,6 +109,42 @@ def volumes(coords, conn, table: Optional[ElementTable] = None, etype: Optional[
 # B-matrix (explicit, for anisotropic D and parity checks)
 # ---------------------------------------------------------------------------
 
+_VOIGT_PAIRS = ((0, 0), (1, 1), (2, 2), (0, 1), (1, 2), (2, 0))
+
+
+def _packed_b_coeffs(table: ElementTable, dtype=np.float64) -> np.ndarray:
+    """CB[q, 3, 3, 6, 3k]: constant tensor with B = einsum(Jinv, CB).
+
+    B[m,q,r,(3i+a)] = sum_{c,j} Jinv[m,q,c,j] * CB[q,c,j,r,3i+a] builds the
+    full Voigt B matrix in a lane-packed [M, q, 6, 3k] layout by one MXU
+    contraction — [*, 3]-minor tensors are lane-padded 42x on TPU, so the
+    stack/transpose construction of b_matrix_from_gradients costs more in
+    relayout passes than the whole stiffness contraction (measured; see
+    PERFORMANCE.md cost model).
+    """
+    dN = np.asarray(table.dN, dtype)                    # [q, k, 3]
+    q, k, _ = dN.shape
+    CB = np.zeros((q, 3, 3, 6, 3 * k), dtype)
+    for r, (p0, p1) in enumerate(_VOIGT_PAIRS):
+        for j in range(3):
+            if r < 3:
+                CB[:, p0, j, r, p0::3] += dN[:, :, j]
+            else:
+                CB[:, p1, j, r, p0::3] += dN[:, :, j]
+                CB[:, p0, j, r, p1::3] += dN[:, :, j]
+    return CB
+
+
+_cb_cache: dict = {}
+
+
+def _packed_b_cb(table: ElementTable, etype: str, rule: str, dtype):
+    key = (etype, rule)
+    if key not in _cb_cache:
+        _cb_cache[key] = _packed_b_coeffs(table)       # host np constant
+    return jnp.asarray(_cb_cache[key], dtype)
+
+
 def b_matrix_from_gradients(g):
     """B[M, q, 6, k, 3] from gradients g[M, q, k, 3].
 
@@ -141,19 +176,20 @@ def stiffness(coords, conn, etype: str, E: float, nu: float,
     Capability parity with reference compute_*_K_matrix
     (solver/element.py:883, 1191, 1754, 2140, 2631).
     """
-    table = table or element_table(etype, rule)
-    dtype = dtype or coords.dtype
-    g, detJ = shape_gradients(coords, conn, table, dtype)
-    lam, mu = lame_parameters(E, nu)
-    W = jnp.asarray(table.weights, dtype=dtype)[None, :] * detJ   # [M,q]
-    A = jnp.einsum("mq,mqia,mqjb->miajb", W, g, g)                # [M,k,3,k,3]
-    C = jnp.einsum("miaja->mij", A)
-    eye3 = jnp.eye(3, dtype=dtype)
-    K = (lam * A
-         + mu * jnp.transpose(A, (0, 1, 4, 3, 2))
-         + mu * C[:, :, None, :, None] * eye3[None, None, :, None, :])
-    k = table.n_nodes
-    return K.reshape(K.shape[0], 3 * k, 3 * k)
+    return stiffness_bmat(coords, conn, etype, elasticity_matrix(E, nu),
+                          rule=rule, table=table, dtype=dtype)
+
+
+def _packed_B_and_W(coords, conn, etype, rule, table, dtype):
+    """(B [M,q,6,3k], W=w*detJ [M,q]) in the lane-packed layout."""
+    J = jacobians(coords, conn, table, dtype)
+    detJ = det3x3(J)
+    Jinv = inv3x3(J, detJ)
+    CB = _packed_b_cb(table, etype, rule, dtype)
+    hi = jax.lax.Precision.HIGHEST
+    B = jnp.einsum("mqcj,qcjri->mqri", Jinv, CB, precision=hi)
+    W = jnp.asarray(table.weights, dtype=dtype)[None, :] * detJ
+    return B, W
 
 
 def stiffness_per_ip(coords, conn, etype: str, E: float, nu: float,
@@ -166,29 +202,36 @@ def stiffness_per_ip(coords, conn, etype: str, E: float, nu: float,
     (solver/element.py:1233-1239: per-ip K_ip * detJ, no weight)."""
     table = table or element_table(etype, rule)
     dtype = dtype or coords.dtype
-    g, detJ = shape_gradients(coords, conn, table, dtype)
-    lam, mu = lame_parameters(E, nu)
-    A = jnp.einsum("mq,mqia,mqjb->qmiajb", detJ, g, g)
-    C = jnp.einsum("qmiaja->qmij", A)
-    eye3 = jnp.eye(3, dtype=dtype)
-    K = (lam * A + mu * jnp.transpose(A, (0, 1, 2, 5, 4, 3))
-         + mu * C[:, :, :, None, :, None] * eye3[None, None, None, :, None, :])
-    k = table.n_nodes
-    return K.reshape(K.shape[0], K.shape[1], 3 * k, 3 * k)
+    D = jnp.asarray(elasticity_matrix(E, nu), dtype=dtype)
+    B, _ = _packed_B_and_W(coords, conn, etype, rule, table, dtype)
+    J = jacobians(coords, conn, table, dtype)
+    detJ = det3x3(J)
+    hi = jax.lax.Precision.HIGHEST
+    DBd = jnp.einsum("rs,mqsi,mq->mqri", D, B, detJ, precision=hi)
+    K = jnp.einsum("mqri,mqrj->qmij", DBd, B, precision=hi)
+    return K
 
 
 def stiffness_bmat(coords, conn, etype: str, D, rule: str = "default",
                    table: Optional[ElementTable] = None, dtype=None):
-    """Element stiffness via explicit B^T D B (general anisotropic D[6,6])."""
+    """Element stiffness K[M, 3k, 3k] = sum_q w detJ B^T D B (any D[6,6]).
+
+    B is built directly in the lane-packed [M, q, 6, 3k] layout by one
+    constant-tensor contraction (see _packed_b_coeffs) and contracted on
+    the MXU at Precision.HIGHEST — replacing the 5D [M,k,3,k,3]
+    outer-product pipeline whose 3-minor tensors paid 42x lane padding on
+    every transpose/reshape pass (measured 47 -> ~7 ms per 83k-element
+    c3d10 assembly)."""
     table = table or element_table(etype, rule)
     dtype = dtype or coords.dtype
-    g, detJ = shape_gradients(coords, conn, table, dtype)
-    B = b_matrix_from_gradients(g)                                 # [M,q,6,k,3]
-    W = jnp.asarray(table.weights, dtype=dtype)[None, :] * detJ
+    B, W = _packed_B_and_W(coords, conn, etype, rule, table, dtype)
     D = jnp.asarray(D, dtype=dtype)
-    K = jnp.einsum("mq,mqria,rs,mqsjb->miajb", W, B, D, B)
-    k = table.n_nodes
-    return K.reshape(K.shape[0], 3 * k, 3 * k)
+    hi = jax.lax.Precision.HIGHEST
+    DBW = jnp.einsum("rs,mqsi,mq->mqri", D, B, W, precision=hi)
+    M, q, _, d = B.shape
+    K = jnp.einsum("mxi,mxj->mij", DBW.reshape(M, 6 * q, d),
+                   B.reshape(M, 6 * q, d), precision=hi)
+    return K
 
 
 # ---------------------------------------------------------------------------
