@@ -254,10 +254,13 @@ def mass(coords, conn, etype: str, rho: float, rule: str = "mass",
     N = jnp.asarray(table.N, dtype=dtype)                          # [q,k]
     W = w[None, :] * detJ                                          # [M,q]
     C = rho * jnp.einsum("mq,qi,qj->mij", W, N, N)                 # [M,k,k]
-    eye3 = jnp.eye(3, dtype=dtype)
-    Mfull = C[:, :, None, :, None] * eye3[None, None, :, None, :]  # [M,k,3,k,3]
+    # C kron I3 without the lane-padded [M,k,3,k,3] broadcast: repeat in the
+    # packed [M,3k,3k] layout and mask the delta_ab pattern
     k = table.n_nodes
-    return Mfull.reshape(C.shape[0], 3 * k, 3 * k)
+    Cr = jnp.repeat(jnp.repeat(C, 3, axis=1), 3, axis=2)           # [M,3k,3k]
+    eye_mask = jnp.asarray(np.tile(np.eye(3, dtype=np.float64), (k, k)),
+                           dtype=dtype)
+    return Cr * eye_mask
 
 
 def lumped_mass(coords, conn, etype: str, rho: float, rule: str = "mass",
