@@ -60,21 +60,33 @@ def main():
             return jnp.sum(jax.lax.fori_loop(0, iters, body, Yc))
         return f
 
+    # chunking/packing are driven by the module thresholds (disabled by
+    # default after the measured losses — ops/scatter.py cost-model note);
+    # temporarily override them per sweep point, as tests/test_operator_cg.py
+    # does.
+    import tpufem.ops.scatter as scatter_mod
+
+    saved = (scatter_mod._CHUNK_ABOVE_ROWS, scatter_mod._PACK_ABOVE_ROWS,
+             scatter_mod._TAKE_FAST_ROWS)
     ref = None
-    for chunk_rows in [10**9, 170_000, 120_000, 70_000, 33_000]:
-        plan = CombinePlan.build(keys, pos, n_rows, N,
-                                 chunk_rows=chunk_rows, row_align=l_max)
-        nch = max(1, len(plan.meta.chunk_bounds) - 1)
-        out = np.asarray(plan(Yc0))
-        if ref is None:
-            ref = out
-        else:
-            assert np.allclose(out, ref, atol=1e-4), "mismatch!"
-        t = slope(make, plan, Yc0)
-        widths = (plan.meta.class_widths if nch == 1
-                  else plan.meta.stage2_widths)
-        print(f"chunk_rows={chunk_rows:>9} n_chunks={nch:2d} "
-              f"t={t*1e3:6.3f} ms  widths={widths}")
+    try:
+        for chunk_above in [1 << 62, 170_000, 120_000, 70_000, 33_000]:
+            scatter_mod._CHUNK_ABOVE_ROWS = chunk_above
+            plan = CombinePlan.build(keys, pos, n_rows, N, row_align=l_max)
+            nch = max(1, len(plan.meta.chunk_bounds) - 1)
+            out = np.asarray(plan(Yc0))
+            if ref is None:
+                ref = out
+            else:
+                assert np.allclose(out, ref, atol=1e-4), "mismatch!"
+            t = slope(make, plan, Yc0)
+            widths = (plan.meta.class_widths if not plan.meta.chunked
+                      else plan.meta.chunk_class_widths)
+            print(f"chunk_above={chunk_above:>19} n_chunks={nch:2d} "
+                  f"t={t*1e3:6.3f} ms  widths={widths}")
+    finally:
+        (scatter_mod._CHUNK_ABOVE_ROWS, scatter_mod._PACK_ABOVE_ROWS,
+         scatter_mod._TAKE_FAST_ROWS) = saved
 
 
 if __name__ == "__main__":

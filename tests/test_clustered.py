@@ -85,7 +85,7 @@ def test_clustered_partial_matches():
     K = solid.stiffness(jnp.asarray(coords2), jnp.asarray(conn), "c3d10", E, NU)
     op_ref = MatrixFreeOperator(K=K, plan=ScatterPlan.build(conn, N, 3))
     op = ClusteredPartialOperator.build(jnp.asarray(coords2), conn, "c3d10",
-                                        E, NU)
+                                        E, NU, n_nodes=N)
     u = jnp.asarray(np.random.default_rng(0).standard_normal((N, 3)))
     F1 = np.asarray(op_ref(u))
     F2 = np.asarray(op(u))

@@ -51,12 +51,12 @@ def test_partial_matches_assembled(etype, mesh, distort):
 def test_affine_detection():
     coords, conn = meshgen.box_tet10(2, 2, 2)
     op = PartialAssemblyOperator.build(jnp.asarray(coords), conn, "c3d10",
-                                       E, NU)
+                                       E, NU, n_nodes=coords.shape[0])
     assert op.meta.affine            # straight-sided promotion -> affine
     assert op.Jinv.shape[1] == 1
     curved = _curve(coords)
     op2 = PartialAssemblyOperator.build(jnp.asarray(curved), conn, "c3d10",
-                                        E, NU)
+                                        E, NU, n_nodes=curved.shape[0])
     assert not op2.meta.affine
 
 

@@ -139,10 +139,13 @@ _cb_cache: dict = {}
 
 
 def _packed_b_cb(table: ElementTable, etype: str, rule: str, dtype):
-    key = (etype, rule)
+    # keyed on the table object itself (kept alive by the cache entry, so
+    # id() can never be recycled) — a custom table must not hit or poison
+    # the (etype, rule) standard-table coefficients.
+    key = id(table)
     if key not in _cb_cache:
-        _cb_cache[key] = _packed_b_coeffs(table)       # host np constant
-    return jnp.asarray(_cb_cache[key], dtype)
+        _cb_cache[key] = (table, _packed_b_coeffs(table))  # host np constant
+    return jnp.asarray(_cb_cache[key][1], dtype)
 
 
 def b_matrix_from_gradients(g):
@@ -181,7 +184,7 @@ def stiffness(coords, conn, etype: str, E: float, nu: float,
 
 
 def _packed_B_and_W(coords, conn, etype, rule, table, dtype):
-    """(B [M,q,6,3k], W=w*detJ [M,q]) in the lane-packed layout."""
+    """(B [M,q,6,3k], W=w*detJ [M,q], detJ [M,q]) lane-packed layout."""
     J = jacobians(coords, conn, table, dtype)
     detJ = det3x3(J)
     Jinv = inv3x3(J, detJ)
@@ -189,7 +192,7 @@ def _packed_B_and_W(coords, conn, etype, rule, table, dtype):
     hi = jax.lax.Precision.HIGHEST
     B = jnp.einsum("mqcj,qcjri->mqri", Jinv, CB, precision=hi)
     W = jnp.asarray(table.weights, dtype=dtype)[None, :] * detJ
-    return B, W
+    return B, W, detJ
 
 
 def stiffness_per_ip(coords, conn, etype: str, E: float, nu: float,
@@ -203,9 +206,7 @@ def stiffness_per_ip(coords, conn, etype: str, E: float, nu: float,
     table = table or element_table(etype, rule)
     dtype = dtype or coords.dtype
     D = jnp.asarray(elasticity_matrix(E, nu), dtype=dtype)
-    B, _ = _packed_B_and_W(coords, conn, etype, rule, table, dtype)
-    J = jacobians(coords, conn, table, dtype)
-    detJ = det3x3(J)
+    B, _, detJ = _packed_B_and_W(coords, conn, etype, rule, table, dtype)
     hi = jax.lax.Precision.HIGHEST
     DBd = jnp.einsum("rs,mqsi,mq->mqri", D, B, detJ, precision=hi)
     K = jnp.einsum("mqri,mqrj->qmij", DBd, B, precision=hi)
@@ -224,7 +225,7 @@ def stiffness_bmat(coords, conn, etype: str, D, rule: str = "default",
     c3d10 assembly)."""
     table = table or element_table(etype, rule)
     dtype = dtype or coords.dtype
-    B, W = _packed_B_and_W(coords, conn, etype, rule, table, dtype)
+    B, W, _ = _packed_B_and_W(coords, conn, etype, rule, table, dtype)
     D = jnp.asarray(D, dtype=dtype)
     hi = jax.lax.Precision.HIGHEST
     DBW = jnp.einsum("rs,mqsi,mq->mqri", D, B, W, precision=hi)

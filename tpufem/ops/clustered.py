@@ -222,8 +222,8 @@ class ClusteredPartialOperator:
     def build(coords, conn, etype: str, E: float, nu: float,
               rule: str = "default", plan: Optional[ClusterPlan] = None,
               affine: Optional[bool] = None, dtype=None,
-              use_pallas: bool = False, **plan_kw
-              ) -> "ClusteredPartialOperator":
+              use_pallas: bool = False, n_nodes: Optional[int] = None,
+              **plan_kw) -> "ClusteredPartialOperator":
         from ..core.materials import lame_parameters
         from ..elements.solid import det3x3, inv3x3, jacobians
         from ..elements.tables import element_table
@@ -232,7 +232,12 @@ class ClusteredPartialOperator:
         table = element_table(etype, rule)
         dtype = dtype or jnp.asarray(coords).dtype
         if plan is None:
-            plan = ClusterPlan.build(conn, int(conn.max()) + 1, 3, **plan_kw)
+            if n_nodes is None:
+                raise ValueError(
+                    "ClusteredPartialOperator.build needs the true node "
+                    "count: pass n_nodes= (conn.max()+1 silently drops "
+                    "trailing unreferenced nodes) or a prebuilt plan=")
+            plan = ClusterPlan.build(conn, int(n_nodes), 3, **plan_kw)
         m = plan.meta
         J = jacobians(jnp.asarray(coords, dtype), jnp.asarray(conn), table,
                       dtype)

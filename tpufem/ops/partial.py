@@ -126,7 +126,8 @@ class PartialAssemblyOperator:
     def build(coords, conn, etype: str, E: float, nu: float,
               rule: str = "default", plan: Optional[ScatterPlan] = None,
               affine: Optional[bool] = None, dtype=None,
-              table: Optional[ElementTable] = None) -> "PartialAssemblyOperator":
+              table: Optional[ElementTable] = None,
+              n_nodes: Optional[int] = None) -> "PartialAssemblyOperator":
         table = table or element_table(etype, rule)
         dtype = dtype or coords.dtype
         conn_j = jnp.asarray(np.asarray(conn))
@@ -141,9 +142,12 @@ class PartialAssemblyOperator:
         if affine:
             Jinv = Jinv[:, :1]
         if plan is None:
-            plan = ScatterPlan.build(np.asarray(conn),
-                                     int(jax.device_get(conn_j.max())) + 1, 3)
-            # NOTE: prefer passing a plan built with the true node count.
+            if n_nodes is None:
+                raise ValueError(
+                    "PartialAssemblyOperator.build needs the true node count: "
+                    "pass n_nodes= (conn.max()+1 silently drops trailing "
+                    "unreferenced nodes) or a prebuilt plan=")
+            plan = ScatterPlan.build(np.asarray(conn), int(n_nodes), 3)
         lam, mu = lame_parameters(E, nu)
         return PartialAssemblyOperator(
             Jinv=Jinv, W=W, conn=conn_j,

@@ -12,14 +12,15 @@ indexing primitive on real hardware:
   - scatter: per-node incidence bins over Fe rows, evaluated as flat
     ``take`` + fixed-width reshape-sum (padding entries point at an
     appended zero row; exact, bitwise deterministic, no atomics);
-* take throughput degrades ~5x once the source table exceeds ~2 MB, and
-  batched (vmapped) takes do NOT restore it, but UNROLLED takes from
-  small per-chunk tables do — so large meshes use a two-stage reduction:
-  stage 1 reduces each element-chunk's rows into per-(node, chunk)
-  sub-bins from ~1 MB tables; stage 2 combines the few sub-bins per node
-  from the (small) stage-1 output table;
 * bins are grouped into <=4 power-of-two width classes by valence so the
-  padded gather volume stays within ~1.3x of the true entry count.
+  padded gather volume stays within ~1.3x of the true entry count;
+* the DEFAULT strategy is a SINGLE-LEVEL classed reduce: take throughput
+  degrades ~2.5x once the source table exceeds ~200k rows, but every
+  measured mitigation (row packing into wider rows, two-stage chunked
+  reduction) lost end-to-end because each added select/stage pass costs a
+  full lane-padded pass over the entries (numbers at the cost-model note
+  below).  Packing and chunking remain implemented + tested, gated by the
+  module-level thresholds, for future hardware.
 
 The sorted permutation/segments of the original design are kept for
 value-stream assembly (BSR) and as a validation fallback.
@@ -33,10 +34,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Above ~this many Fe rows the single-table takes fall off the fast path
-# (the TPU gather engine degrades once the source exceeds ~2 MB); measured
-# sweep put the optimum near 32k rows (~400 KB tables).
-_CHUNK_ROWS = 32768
 _MAX_UNROLL_CHUNKS = 64
 
 

@@ -188,15 +188,19 @@ class DistFEM:
         return self._spmv(self.K, self.conn, self.inc, u_new)
 
     # -- distributed PCG -------------------------------------------------
-    def _pcg_shard(self, tol, max_iter, eps, K, conn, inc,
+    def _pcg_shard(self, tol, max_iter, eps, dot_dtype, K, conn, inc,
                    b_own, mask_own, minv_own, x0_own):
         axis = self.axis
+        ddt = dot_dtype or b_own.dtype
 
         def A(u):
             return self._spmv_shard(K, conn, inc, u)
 
         def pdot(a, b):
-            return jax.lax.psum(jnp.vdot(a, b), axis)
+            # wide-scalar accumulation policy (SURVEY hard part 4): vectors
+            # stay in storage dtype, recurrence scalars in dot_dtype
+            s = jnp.sum(a.astype(ddt) * b.astype(ddt))
+            return jax.lax.psum(s, axis).astype(b_own.dtype)
 
         def project(r):
             return r * mask_own
@@ -247,7 +251,7 @@ class DistFEM:
         return u, status, i, rn, hist
 
     def pcg(self, b_new, x0=None, tol: float = 1e-8, max_iter: int = 1000,
-            eps: float = 1e-30):
+            eps: float = 1e-30, dot_dtype=None):
         """Distributed PCG; b [P*B, 3] new order.  Returns (u, SolveInfo)."""
         m = self.part.meta
         shape = (m.n_parts * m.block_rows, 3)
@@ -256,10 +260,10 @@ class DistFEM:
         minv = (self.M_inv if self.M_inv is not None
                 else jnp.ones(shape, b_new.dtype))
         x0 = jnp.zeros(shape, b_new.dtype) if x0 is None else x0
-        key = (float(tol), int(max_iter))
+        key = (float(tol), int(max_iter), str(dot_dtype))
         if key not in self._pcg:
             fn = jax.shard_map(
-                partial(self._pcg_shard, tol, max_iter, eps),
+                partial(self._pcg_shard, tol, max_iter, eps, dot_dtype),
                 mesh=self.mesh,
                 in_specs=(P(self.axis),) * 7,
                 out_specs=(P(self.axis), P(), P(), P(), P()))

@@ -232,16 +232,20 @@ class HaloFEM:
                           self.recv_slot, self.recv_mask, u_new)
 
     # ------------------------------------------------------------------
-    def _pcg_shard(self, tol, max_iter, eps, K, conn_local, inc, send_idx,
-                   recv_slot, recv_mask, b_own, mask_own, minv_own, x0_own):
+    def _pcg_shard(self, tol, max_iter, eps, dot_dtype, K, conn_local, inc,
+                   send_idx, recv_slot, recv_mask, b_own, mask_own, minv_own,
+                   x0_own):
         axis = self.axis
+        ddt = dot_dtype or b_own.dtype
 
         def A(u):
             return self._spmv_shard(K, conn_local, inc, send_idx, recv_slot,
                                     recv_mask, u)
 
         def pdot(a, b):
-            return jax.lax.psum(jnp.vdot(a, b), axis)
+            # wide-scalar accumulation policy (SURVEY hard part 4)
+            s = jnp.sum(a.astype(ddt) * b.astype(ddt))
+            return jax.lax.psum(s, axis).astype(b_own.dtype)
 
         def project(r):
             return r * mask_own
@@ -290,7 +294,7 @@ class HaloFEM:
         return u, st, i, jnp.sqrt(pdot(r, r)), hist
 
     def pcg(self, b_new, x0=None, tol: float = 1e-8, max_iter: int = 1000,
-            eps: float = 1e-30):
+            eps: float = 1e-30, dot_dtype=None):
         m = self.part.meta
         shape = (m.n_parts * m.block_rows, 3)
         mask = (self.free_mask if self.free_mask is not None
@@ -298,9 +302,10 @@ class HaloFEM:
         minv = (self.M_inv if self.M_inv is not None
                 else jnp.ones(shape, b_new.dtype))
         x0 = jnp.zeros(shape, b_new.dtype) if x0 is None else x0
-        key = (float(tol), int(max_iter))
+        key = (float(tol), int(max_iter), str(dot_dtype))
         if key not in self._pcg:
-            fn = jax.shard_map(partial(self._pcg_shard, tol, max_iter, eps),
+            fn = jax.shard_map(partial(self._pcg_shard, tol, max_iter, eps,
+                                       dot_dtype),
                                mesh=self.mesh,
                                in_specs=(P(self.axis),) * 10,
                                out_specs=(P(self.axis), P(), P(), P(), P()))

@@ -18,9 +18,20 @@ from .constraints import Constraints
 
 
 def gmres(A: Callable, b, *, constraints: Optional[Constraints] = None,
-          x0=None, tol: float = 1e-8, max_iter: int = 1000, restart: int = 50,
-          eps: float = 1e-30):
-    """Solve A u = b; (u, SolveInfo).  tol is absolute on ||r||."""
+          M_inv=None, x0=None, tol: float = 1e-8, max_iter: int = 1000,
+          restart: int = 50, eps: float = 1e-30):
+    """Solve A u = b; (u, SolveInfo).  tol is absolute on ||r||.
+
+    M_inv: optional Jacobi (diagonal) preconditioner broadcastable to b —
+    applied as LEFT preconditioning (the Arnoldi recursion runs on
+    M^-1 A u = M^-1 b), so tol / the residual history / the returned
+    residual_norm are on the PRECONDITIONED residual ||M^-1 r||.  The
+    reference's gmres_solver has no preconditioning (solver/solver.py:911).
+    """
+    if M_inv is not None:
+        A_raw = A
+        A = lambda u: A_raw(u) * M_inv            # noqa: E731
+        b = b * M_inv
     dtype = b.dtype
     shape = b.shape
     n = b.size
@@ -87,13 +98,19 @@ def gmres(A: Callable, b, *, constraints: Optional[Constraints] = None,
     def cycle_body(carry, _):
         u, status, hist, used = carry
         u_new, res_hist = arnoldi_cycle(u)
-        u = jnp.where(status == RUNNING, u_new, u)
+        was_running = status == RUNNING
+        u = jnp.where(was_running, u_new, u)
         reached = res_hist < tol
         hit = jnp.any(reached)
         iters_this = jnp.where(hit, jnp.argmax(reached) + 1, m).astype(jnp.int32)
-        used = (used + jnp.where(status == RUNNING, iters_this, 0)).astype(jnp.int32)
-        status = jnp.where((status == RUNNING) & hit, CONVERGED, status)
-        return (u, status.astype(jnp.int32), hist, used), res_hist
+        used = (used + jnp.where(was_running, iters_this, 0)).astype(jnp.int32)
+        status = jnp.where(was_running & hit, CONVERGED, status)
+        # inf-pad entries past convergence / past the active cycles so the
+        # history has the same padded semantics as cg()'s
+        pos = jnp.arange(m)
+        live = was_running & (pos < iters_this)
+        res_out = jnp.where(live, res_hist, jnp.inf)
+        return (u, status.astype(jnp.int32), hist, used), res_out
 
     init = (u0, jnp.int32(RUNNING), jnp.zeros((0,), dtype), jnp.int32(0))
     (u, status, _, used), res_all = jax.lax.scan(cycle_body, init,

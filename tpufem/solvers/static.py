@@ -100,7 +100,7 @@ def static_structure_solver(coords, force, fixed=None, *, material: dict,
                             u_init=None, tol: float = 1e-10,
                             max_iter: int = 1000, precondition: bool = False,
                             dtype=None, jit: bool = True,
-                            operator: str = "assembled"):
+                            operator: str = "assembled", dot_dtype=None):
     """Solve the mixed static problem; returns (u [N,6], SolveInfo).
 
     Signature parity with reference static_structure_solver (solver/solver.py:11)
@@ -108,6 +108,11 @@ def static_structure_solver(coords, force, fixed=None, *, material: dict,
     objects instead of only a fixed-node list.  The WHOLE pipeline — element
     stiffness assembly, preconditioner, and the CG loop — traces into one XLA
     program (eager dispatch on a tunneled TPU backend costs ~0.5 s/op).
+
+    dot_dtype: accumulate the CG scalar recurrences in this dtype while
+    vectors stay in ``dtype`` — the f32-storage / wide-scalar policy for
+    TPU (SURVEY.md hard part 4; the reference runs all-f64 on GPU,
+    solver/solver.py:11).
     """
     blocks = dict(blocks or {})
     for name, conn in (("c3d4", c3d4), ("c3d6", c3d6), ("c3d8", c3d8),
@@ -149,7 +154,7 @@ def static_structure_solver(coords, force, fixed=None, *, material: dict,
                 return cons.apply_state(u)
 
         return cg(model, bb, constraints=_C(), M_inv=Minv, x0=x0, tol=tol,
-                  max_iter=max_iter)
+                  max_iter=max_iter, dot_dtype=dot_dtype)
 
     coords_j = jnp.asarray(coords, force_np_dtype)
     force_j = jnp.asarray(force, force_np_dtype)
