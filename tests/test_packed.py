@@ -1,0 +1,122 @@
+"""Packed-layout clustered operator: exactness vs the assembled operator."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpufem.elements import solid
+from tpufem.ops.operator import MatrixFreeOperator
+from tpufem.ops.packed import PackedPartialOperator, PackedPlan
+from tpufem.ops.scatter import ScatterPlan
+from tpufem.solvers.cg import cg
+from tpufem.utils import meshgen
+
+E, NU = 200e9, 0.3
+
+
+def _curve(coords):
+    c = coords.copy()
+    c[:, 0] += 0.05 * np.sin(2.0 * c[:, 1]) * c[:, 2]
+    c[:, 1] += 0.03 * np.cos(1.0 + c[:, 2]) * c[:, 0]
+    return c
+
+
+def _ref_op(coords, conn, etype):
+    N = coords.shape[0]
+    K = solid.stiffness(jnp.asarray(coords), jnp.asarray(conn), etype, E, NU)
+    return MatrixFreeOperator(K=K, plan=ScatterPlan.build(conn, N, 3))
+
+
+@pytest.mark.parametrize("etype,mesh,distort", [
+    ("c3d10", lambda: meshgen.box_tet10(3, 3, 3), False),
+    ("c3d10", lambda: meshgen.box_tet10(3, 3, 3), True),
+    ("c3d4", lambda: meshgen.box_tet(4, 4, 4), False),
+    ("c3d8", lambda: meshgen.box_hex(4, 4, 5), True),
+])
+def test_packed_matches_assembled(etype, mesh, distort):
+    coords, conn = mesh()
+    if distort:
+        coords = _curve(coords)
+    N = coords.shape[0]
+    op_ref = _ref_op(coords, conn, etype)
+    op = PackedPartialOperator.build(jnp.asarray(coords), conn, etype, E, NU,
+                                     n_nodes=N, interpret=True)
+    u = np.random.default_rng(0).standard_normal((N, 3))
+    uj = jnp.asarray(u)
+    F_ref = np.asarray(op_ref(uj))
+    F = np.asarray(op.plan.unpack(op(op.plan.pack(uj))))
+    np.testing.assert_allclose(F, F_ref, rtol=1e-9,
+                               atol=1e-11 * np.abs(F_ref).max())
+    d_ref = np.asarray(op_ref.diagonal()).reshape(N, 3)
+    d = np.asarray(op.plan.unpack(op.diagonal()))
+    np.testing.assert_allclose(d, d_ref, rtol=1e-9,
+                               atol=1e-11 * np.abs(d_ref).max())
+
+
+def test_pack_unpack_roundtrip():
+    coords, conn = meshgen.box_tet10(2, 2, 2)
+    N = coords.shape[0]
+    plan = PackedPlan.build(coords, conn, N)
+    u = np.random.default_rng(1).standard_normal((N, 3))
+    X = plan.pack(jnp.asarray(u))
+    assert X.shape == (plan.meta.n_blocks, 384)
+    np.testing.assert_array_equal(np.asarray(plan.unpack(X)), u)
+    np.testing.assert_array_equal(plan.pack_np(u), np.asarray(X))
+
+
+def test_packed_cluster_invariants():
+    coords, conn = meshgen.box_tet10(3, 3, 3)
+    N = coords.shape[0]
+    plan = PackedPlan.build(coords, conn, N)
+    m = plan.meta
+    # every original element appears exactly once
+    esrc = np.asarray(plan.esrc)
+    real = esrc[esrc >= 0]
+    assert np.array_equal(np.sort(real), np.arange(conn.shape[0]))
+    # node permutation is a bijection
+    nfo = np.asarray(plan.new_from_old)
+    assert np.array_equal(np.sort(nfo), np.arange(N))
+    # windows: no real block index out of range
+    assert np.asarray(plan.win_nodes).max() <= m.n_blocks
+    assert np.asarray(plan.winc).max() <= m.n_clusters
+
+
+def test_packed_cg_solve():
+    """End-to-end PCG in the packed layout matches the [N, 3] solve."""
+    coords, conn = meshgen.box_tet10(3, 3, 3)
+    N = coords.shape[0]
+    op_ref = _ref_op(coords, conn, "c3d10")
+    op = PackedPartialOperator.build(jnp.asarray(coords), conn, "c3d10",
+                                     E, NU, n_nodes=N, interpret=True)
+    fixed = meshgen.boundary_nodes(coords, 2, 0.0)
+    mask_n = np.ones((N, 3))
+    mask_n[fixed] = 0.0
+    b = np.zeros((N, 3))
+    b[meshgen.boundary_nodes(coords, 2, 1.0), 0] = 1e3
+
+    from tpufem.solvers.constraints import Constraints
+    cons = Constraints.fixed(N, fixed, 3, dtype=np.float64)
+    dref = op_ref.diagonal().reshape(N, 3)
+    Minv_ref = jnp.where(jnp.abs(dref) > 0, 1.0 / dref, 0.0)
+    u_ref, info_ref = cg(op_ref, jnp.asarray(b), constraints=cons,
+                         M_inv=Minv_ref, tol=1e-9, max_iter=2000)
+
+    maskX = op.plan.pack(jnp.asarray(mask_n))
+    bX = op.plan.pack(jnp.asarray(b))
+    d = op.diagonal()
+    MinvX = jnp.where(jnp.abs(d) > 0, 1.0 / jnp.where(d == 0, 1.0, d),
+                      0.0) * maskX
+
+    class _M:
+        def project_residual(self, r):
+            return r * maskX
+
+        def apply_state(self, u):
+            return u * maskX
+
+    uX, info = cg(op, bX, constraints=_M(), M_inv=MinvX, tol=1e-9,
+                  max_iter=2000)
+    assert int(info.status) == 1
+    u = np.asarray(op.plan.unpack(uX))
+    np.testing.assert_allclose(u, np.asarray(u_ref), rtol=1e-6,
+                               atol=1e-9 * np.abs(np.asarray(u_ref)).max())

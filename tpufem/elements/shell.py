@@ -30,6 +30,7 @@ import numpy as np
 from ..core.materials import kirchhoff_D_matrix
 from ..ops.scatter import ScatterPlan
 from .tables import ElementTable, element_table
+from ..core.xmath import einsum as _xeinsum
 
 
 # ---------------------------------------------------------------------------
@@ -63,7 +64,7 @@ def local_coordinates(coords, conn, unit, dtype=None):
     dtype = dtype or coords.dtype
     g = coords.astype(dtype)[conn]                       # [M,k,3]
     v = g - g[:, 0:1, :]
-    return jnp.einsum("mna,mda->mnd", v, unit.astype(dtype))
+    return _xeinsum("mna,mda->mnd", v, unit.astype(dtype))
 
 
 def shell_normals(coords, conn, dtype=None):
@@ -87,7 +88,7 @@ def shell_normals(coords, conn, dtype=None):
 def _inplane_gradients(xy, table: ElementTable, dtype):
     """(dN_xy [M,q,k,2], detJ [M,q]) from local in-plane coords xy[M,k,2]."""
     dN = jnp.asarray(table.dN, dtype=dtype)              # [q,k,2]
-    J = jnp.einsum("qka,mkb->mqab", dN, xy)              # [M,q,2,2]
+    J = _xeinsum("qka,mkb->mqab", dN, xy)              # [M,q,2,2]
     detJ = J[..., 0, 0] * J[..., 1, 1] - J[..., 0, 1] * J[..., 1, 0]
     inv00 = J[..., 1, 1] / detJ
     inv01 = -J[..., 0, 1] / detJ
@@ -95,7 +96,7 @@ def _inplane_gradients(xy, table: ElementTable, dtype):
     inv11 = J[..., 0, 0] / detJ
     Jinv = jnp.stack([jnp.stack([inv00, inv01], axis=-1),
                       jnp.stack([inv10, inv11], axis=-1)], axis=-2)
-    g = jnp.einsum("mqij,qkj->mqki", Jinv, dN)
+    g = _xeinsum("mqij,qkj->mqki", Jinv, dN)
     return g, detJ
 
 
@@ -141,7 +142,7 @@ def shell_stiffness(coords, conn, membrane, bending, etype: Optional[str] = None
     B = shell_b_matrix(g)                                 # [M,q,6,k,6]
     D = jnp.asarray(kirchhoff_D_matrix(membrane, bending), dtype=dtype)
     W = jnp.asarray(table.weights, dtype=dtype)[None, :] * detJ
-    K = jnp.einsum("mq,mqria,rs,mqsjb->miajb", W, B, D, B)
+    K = _xeinsum("mq,mqria,rs,mqsjb->miajb", W, B, D, B)
     k = table.n_nodes
     return K.reshape(K.shape[0], 6 * k, 6 * k)
 
@@ -160,11 +161,11 @@ def shell_stress(coords, conn, membrane, bending, displacement,
     g, _ = _inplane_gradients(xy, table, dtype)
     B = shell_b_matrix(g)
     w = jnp.asarray(table.weights, dtype=dtype)
-    Bavg = jnp.einsum("q,mqria->mria", w, B) / jnp.sum(w)
+    Bavg = _xeinsum("q,mqria->mria", w, B) / jnp.sum(w)
     u_loc = global_to_local_displacement(conn, displacement, unit, dtype)  # [M,k,6]
-    strain = jnp.einsum("mria,mia->mr", Bavg, u_loc)
+    strain = _xeinsum("mria,mia->mr", Bavg, u_loc)
     D = jnp.asarray(kirchhoff_D_matrix(membrane, bending), dtype=dtype)
-    return jnp.einsum("rs,ms->mr", D, strain)
+    return _xeinsum("rs,ms->mr", D, strain)
 
 
 # ---------------------------------------------------------------------------
@@ -178,8 +179,8 @@ def global_to_local_displacement(conn, displacement, unit, dtype=None):
     dtype = dtype or displacement.dtype
     ge = displacement.astype(dtype)[conn]                # [M,k,6]
     u = unit.astype(dtype)
-    t = jnp.einsum("mkj,mdj->mkd", ge[..., :3], u)
-    r = jnp.einsum("mkj,mdj->mkd", ge[..., 3:], u)
+    t = _xeinsum("mkj,mdj->mkd", ge[..., :3], u)
+    r = _xeinsum("mkj,mdj->mkd", ge[..., 3:], u)
     return jnp.concatenate([t, r], axis=-1)
 
 
@@ -201,10 +202,10 @@ def shell_nodal_forces(K, plan_or_conn, displacement, unit,
     u2d = displacement.reshape(-1, 6)
     u_loc = global_to_local_displacement(plan.conn, u2d, unit,
                                          displacement.dtype)  # [M,k,6]
-    F_loc = jnp.einsum("mij,mj->mi", K, u_loc.reshape(M, d)).reshape(M, k, 6)
+    F_loc = _xeinsum("mij,mj->mi", K, u_loc.reshape(M, d)).reshape(M, k, 6)
     uT = jnp.swapaxes(unit, 1, 2).astype(displacement.dtype)
-    Ft = jnp.einsum("mab,mkb->mka", uT, F_loc[..., :3])
-    Fr = jnp.einsum("mab,mkb->mka", uT, F_loc[..., 3:])
+    Ft = _xeinsum("mab,mkb->mka", uT, F_loc[..., :3])
+    Fr = _xeinsum("mab,mkb->mka", uT, F_loc[..., 3:])
     Fe = jnp.concatenate([Ft, Fr], axis=-1)              # [M,k,6]
     return plan.scatter(Fe.reshape(M, d)).reshape(u2d.shape)
 
@@ -261,8 +262,8 @@ def shell_operator_diagonal(K, unit):
     Kl = K.reshape(M, k, 6, k, 6)
     u = unit.astype(K.dtype)
     # per-node 3x3 diagonal blocks for translations and rotations
-    Kt = jnp.einsum("mibic->mibc", Kl[:, :, :3, :, :3])   # [M,k,3,3]
-    Kr = jnp.einsum("mibic->mibc", Kl[:, :, 3:, :, 3:])
-    dt = jnp.einsum("mba,mkbc,mca->mka", u, Kt, u)        # [M,k,3]
-    dr = jnp.einsum("mba,mkbc,mca->mka", u, Kr, u)
+    Kt = _xeinsum("mibic->mibc", Kl[:, :, :3, :, :3])   # [M,k,3,3]
+    Kr = _xeinsum("mibic->mibc", Kl[:, :, 3:, :, 3:])
+    dt = _xeinsum("mba,mkbc,mca->mka", u, Kt, u)        # [M,k,3]
+    dr = _xeinsum("mba,mkbc,mca->mka", u, Kr, u)
     return jnp.concatenate([dt, dr], axis=-1).reshape(M, d)

@@ -27,6 +27,7 @@ import numpy as np
 from ..core.materials import elasticity_matrix, lame_parameters
 from ..core.voigt import stress_tensor, von_mises
 from .tables import ElementTable, element_table
+from ..core.xmath import einsum as _xeinsum
 
 
 # ---------------------------------------------------------------------------
@@ -77,7 +78,7 @@ def jacobians(coords, conn, table: ElementTable, dtype=None):
     dtype = dtype or coords.dtype
     Xe = coords[conn].astype(dtype)                       # [M,k,3]
     dN = jnp.asarray(table.dN, dtype=dtype)               # [q,k,3]
-    return jnp.einsum("qka,mkb->mqab", dN, Xe)
+    return _xeinsum("qka,mkb->mqab", dN, Xe)
 
 
 def shape_gradients_from_J(J, table: ElementTable, dtype=None):
@@ -86,7 +87,7 @@ def shape_gradients_from_J(J, table: ElementTable, dtype=None):
     detJ = det3x3(J)
     Jinv = inv3x3(J, detJ)
     dN = jnp.asarray(table.dN, dtype=dtype)
-    g = jnp.einsum("mqij,qkj->mqki", Jinv, dN)
+    g = _xeinsum("mqij,qkj->mqki", Jinv, dN)
     return g, detJ
 
 
@@ -102,7 +103,7 @@ def volumes(coords, conn, table: Optional[ElementTable] = None, etype: Optional[
     J = jacobians(coords, conn, table)
     detJ = det3x3(J)
     w = jnp.asarray(table.weights, dtype=detJ.dtype)
-    return jnp.einsum("q,mq->m", w, detJ)
+    return _xeinsum("q,mq->m", w, detJ)
 
 
 # ---------------------------------------------------------------------------
@@ -190,7 +191,7 @@ def _packed_B_and_W(coords, conn, etype, rule, table, dtype):
     Jinv = inv3x3(J, detJ)
     CB = _packed_b_cb(table, etype, rule, dtype)
     hi = jax.lax.Precision.HIGHEST
-    B = jnp.einsum("mqcj,qcjri->mqri", Jinv, CB, precision=hi)
+    B = _xeinsum("mqcj,qcjri->mqri", Jinv, CB, precision=hi)
     W = jnp.asarray(table.weights, dtype=dtype)[None, :] * detJ
     return B, W, detJ
 
@@ -208,8 +209,8 @@ def stiffness_per_ip(coords, conn, etype: str, E: float, nu: float,
     D = jnp.asarray(elasticity_matrix(E, nu), dtype=dtype)
     B, _, detJ = _packed_B_and_W(coords, conn, etype, rule, table, dtype)
     hi = jax.lax.Precision.HIGHEST
-    DBd = jnp.einsum("rs,mqsi,mq->mqri", D, B, detJ, precision=hi)
-    K = jnp.einsum("mqri,mqrj->qmij", DBd, B, precision=hi)
+    DBd = _xeinsum("rs,mqsi,mq->mqri", D, B, detJ, precision=hi)
+    K = _xeinsum("mqri,mqrj->qmij", DBd, B, precision=hi)
     return K
 
 
@@ -228,9 +229,9 @@ def stiffness_bmat(coords, conn, etype: str, D, rule: str = "default",
     B, W, _ = _packed_B_and_W(coords, conn, etype, rule, table, dtype)
     D = jnp.asarray(D, dtype=dtype)
     hi = jax.lax.Precision.HIGHEST
-    DBW = jnp.einsum("rs,mqsi,mq->mqri", D, B, W, precision=hi)
+    DBW = _xeinsum("rs,mqsi,mq->mqri", D, B, W, precision=hi)
     M, q, _, d = B.shape
-    K = jnp.einsum("mxi,mxj->mij", DBW.reshape(M, 6 * q, d),
+    K = _xeinsum("mxi,mxj->mij", DBW.reshape(M, 6 * q, d),
                    B.reshape(M, 6 * q, d), precision=hi)
     return K
 
@@ -254,7 +255,7 @@ def mass(coords, conn, etype: str, rho: float, rule: str = "mass",
     w = jnp.asarray(table.weights, dtype=dtype)
     N = jnp.asarray(table.N, dtype=dtype)                          # [q,k]
     W = w[None, :] * detJ                                          # [M,q]
-    C = rho * jnp.einsum("mq,qi,qj->mij", W, N, N)                 # [M,k,k]
+    C = rho * _xeinsum("mq,qi,qj->mij", W, N, N)                 # [M,k,k]
     # C kron I3 without the lane-padded [M,k,3,k,3] broadcast: repeat in the
     # packed [M,3k,3k] layout and mask the delta_ab pattern
     k = table.n_nodes
@@ -278,8 +279,8 @@ def lumped_mass(coords, conn, etype: str, rho: float, rule: str = "mass",
     w = jnp.asarray(table.weights, dtype=dtype)
     N = jnp.asarray(table.N, dtype=dtype)
     W = w[None, :] * detJ                                          # [M,q]
-    diagC = rho * jnp.einsum("mq,qi,qi->mi", W, N, N)              # [M,k]
-    vol_mass = rho * jnp.einsum("q,mq->m", w, detJ)                # [M]
+    diagC = rho * _xeinsum("mq,qi,qi->mi", W, N, N)              # [M,k]
+    vol_mass = rho * _xeinsum("q,mq->m", w, detJ)                # [M]
     scale = vol_mass / jnp.sum(diagC, axis=1)
     d = diagC * scale[:, None]                                     # [M,k]
     return jnp.repeat(d, 3, axis=1)                                # [M,3k]
@@ -307,22 +308,22 @@ def element_stress(coords, conn, displacement, etype: str, E: float, nu: float,
     g, _ = shape_gradients(coords, conn, table, dtype)             # [M,q,k,3]
     ue = displacement[conn].astype(dtype)                          # [M,k,3]
     # grad_u[m,q,a,b] = d u_b / d x_a
-    H = jnp.einsum("mqka,mkb->mqab", g, ue)
+    H = _xeinsum("mqka,mkb->mqab", g, ue)
     exx, eyy, ezz = H[..., 0, 0], H[..., 1, 1], H[..., 2, 2]
     gxy = H[..., 0, 1] + H[..., 1, 0]
     gyz = H[..., 1, 2] + H[..., 2, 1]
     gzx = H[..., 2, 0] + H[..., 0, 2]
     eps = jnp.stack([exx, eyy, ezz, gxy, gyz, gzx], axis=-1)       # [M,q,6]
     D = jnp.asarray(elasticity_matrix(E, nu), dtype=dtype)
-    sig = jnp.einsum("rs,mqs->mqr", D, eps)                        # [M,q,6]
+    sig = _xeinsum("rs,mqs->mqr", D, eps)                        # [M,q,6]
     tens = stress_tensor(sig)                                      # [M,q,3,3]
     vm = von_mises(tens)                                           # [M,q]
     if not single:
         return tens, vm
     w = jnp.asarray(table.weights, dtype=dtype)
     wsum = jnp.sum(w)
-    tens_avg = jnp.einsum("q,mqab->mab", w, tens) / wsum
-    vm_avg = jnp.einsum("q,mq->m", w, vm) / wsum
+    tens_avg = _xeinsum("q,mqab->mab", w, tens) / wsum
+    vm_avg = _xeinsum("q,mq->m", w, vm) / wsum
     return tens_avg, vm_avg
 
 

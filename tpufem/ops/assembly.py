@@ -18,6 +18,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from ..core.xmath import einsum as _xeinsum
 
 
 @jax.tree_util.register_static
@@ -116,7 +117,7 @@ def bsr_matvec(A: BSRMatrix, x):
     s = A.structure
     b = s.meta.block
     xg = x.reshape(-1, b)[s.col_ids]                       # [nnzb, b]
-    prod = jnp.einsum("nij,nj->ni", A.data, xg)            # block GEMV
+    prod = _xeinsum("nij,nj->ni", A.data, xg)            # block GEMV
     y = jax.ops.segment_sum(prod, s.row_ids,
                             num_segments=s.meta.n_block_rows,
                             indices_are_sorted=True)

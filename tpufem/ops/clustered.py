@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .scatter import CombinePlan
+from ..core.xmath import einsum as _xeinsum
 
 
 @jax.tree_util.register_static
@@ -178,10 +179,10 @@ class ClusteredOperator:
             Yc = cluster_spmv(self.K, lc, Uc)
         else:
             oh = self.plan.onehot(u.dtype)                 # [B, E_c*k, L]
-            ue = jnp.einsum("bel,blc->bec", oh, Uc)        # MXU expand
-            Fe = jnp.einsum("beij,bej->bei", self.K,
+            ue = _xeinsum("bel,blc->bec", oh, Uc)        # MXU expand
+            Fe = _xeinsum("beij,bej->bei", self.K,
                             ue.reshape(B, E_c, -1))        # batched GEMV
-            Yc = jnp.einsum("bel,bec->blc", oh,
+            Yc = _xeinsum("bel,bec->blc", oh,
                             Fe.reshape(B, -1, nd))         # compress
         return self.plan.combine(Yc.reshape(B * L, nd))
 
@@ -191,7 +192,7 @@ class ClusteredOperator:
         B, L = m.n_clusters, m.l_max
         d = jnp.diagonal(self.K, axis1=2, axis2=3)         # [B, E_c, d]
         oh = self.plan.onehot(self.K.dtype)
-        Yc = jnp.einsum("bel,bec->blc", oh, d.reshape(B, -1, nd))
+        Yc = _xeinsum("bel,bec->blc", oh, d.reshape(B, -1, nd))
         return self.plan.combine(Yc.reshape(B * L, nd)).reshape(-1)
 
 
@@ -274,7 +275,7 @@ class ClusteredPartialOperator:
             ue = cluster_expand(self.plan.lconn.reshape(B, -1), Uc)
         else:
             oh = self.plan.onehot(u.dtype)
-            ue = jnp.einsum("bel,blc->bec", oh, Uc)         # [B, R, nd]
+            ue = _xeinsum("bel,blc->bec", oh, Uc)         # [B, R, nd]
         return tuple(ue[..., c].reshape(B * E_c, k) for c in range(3))
 
     def _compress(self, Fe_cols, dtype):
@@ -286,7 +287,7 @@ class ClusteredPartialOperator:
             from .pallas_kernels import cluster_compress
             return cluster_compress(self.plan.lconn.reshape(B, -1), Fe, L)
         oh = self.plan.onehot(dtype)
-        return jnp.einsum("bel,bec->blc", oh, Fe)
+        return _xeinsum("bel,bec->blc", oh, Fe)
 
     def __call__(self, u):
         from .partial import pa_apply_components

@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from .scatter import ScatterPlan
+from ..core.xmath import einsum as _xeinsum
 
 
 def nodal_forces(K, conn_or_plan, displacement, n_nodes: Optional[int] = None):
@@ -32,7 +33,7 @@ def nodal_forces(K, conn_or_plan, displacement, n_nodes: Optional[int] = None):
         plan = ScatterPlan.build(jax.device_get(conn_or_plan), n, 3)
     u_flat = displacement.reshape(-1)
     ue = plan.gather(u_flat)                                # [M, d]
-    Fe = jnp.einsum("mij,mj->mi", K, ue)                    # batched GEMV
+    Fe = _xeinsum("mij,mj->mi", K, ue)                    # batched GEMV
     return plan.scatter(Fe).reshape(displacement.shape)
 
 

@@ -1,0 +1,481 @@
+"""Packed-layout clustered matrix-free operator (the speed-of-light path).
+
+Replaces the measured bottlenecks of the round-1 clustered operator
+(PERFORMANCE.md: 3.4 ms of a 5.9 ms SpMV in the cross-cluster combine,
+42x lane padding on every [N, 3] pass) with a layout designed for the
+TPU tile model end to end:
+
+* ALL hot vectors are `[rows, 384]` f32 tiles — lanes = c * 128 + n % 128
+  (three component planes of one 128-node block per row).  Dense: an
+  elementwise CG pass moves exactly 12 bytes/node instead of 512.
+* Elements are Morton-ordered (spatial locality), grouped into clusters
+  of E_c consecutive elements with <= 128 unique nodes; nodes are
+  renumbered in first-touch cluster order.  Consequently each cluster
+  reads from few node-block rows (window Wn, measured max ~13 on c3d10
+  boxes) and each node-block row receives from few clusters (window Wc,
+  measured max ~30) — both gather volumes are slab-granular row gathers.
+* Expand and the cross-cluster combine run as Pallas lane-gather kernels
+  (exact, deterministic — ops.packed_kernels); the in-cluster compress is
+  an exact bf16x3-split one-hot MXU contraction.
+* The element compute is the partial-assembly (geometry-factor) action of
+  ops.partial (J^-1 and w*detJ only — 10M-element 2nd-order meshes fit on
+  one chip), evaluated in a fully dense `[3, k, B, E_c]` planar layout.
+
+Capability parity: the SpMV of reference compute_nodal_forces
+(solver/element.py:429-464) — same math as MatrixFreeOperator /
+ClusteredPartialOperator (tested to fp tolerance), different schedule.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .clustered import _StaticTable
+
+L_SLOTS = 128          # slots per cluster (one lane tile)
+BLK = 128              # nodes per packed row
+ROW = 3 * BLK          # lanes per packed row
+
+
+# ---------------------------------------------------------------------------
+# host-side ordering
+# ---------------------------------------------------------------------------
+
+def _spread_bits(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.uint64) & 0x3FF
+    x = (x | (x << 16)) & 0x030000FF
+    x = (x | (x << 8)) & 0x0300F00F
+    x = (x | (x << 4)) & 0x030C30C3
+    x = (x | (x << 2)) & 0x09249249
+    return x
+
+
+def morton_order(coords: np.ndarray, conn: np.ndarray) -> np.ndarray:
+    """Element permutation by 30-bit Morton code of the centroid."""
+    cent = coords[conn].mean(axis=1)
+    mn, mx = cent.min(0), cent.max(0)
+    q = ((cent - mn) / np.maximum(mx - mn, 1e-30) * 1023.0).astype(np.uint64)
+    key = (_spread_bits(q[:, 0]) | (_spread_bits(q[:, 1]) << 1)
+           | (_spread_bits(q[:, 2]) << 2))
+    return np.argsort(key, kind="stable")
+
+
+def _chunk_unique_counts(conn_rows: np.ndarray) -> np.ndarray:
+    """#unique valid (>=0) nodes per row of [n, w]."""
+    srt = np.sort(conn_rows, axis=1)
+    first = np.ones_like(srt, dtype=bool)
+    first[:, 1:] = srt[:, 1:] != srt[:, :-1]
+    first &= srt >= 0
+    return first.sum(axis=1)
+
+
+# ---------------------------------------------------------------------------
+# plan
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_static
+@dataclasses.dataclass(frozen=True)
+class _PackedMeta:
+    n_nodes: int
+    n_blocks: int          # Nb (padded to kernel tile)
+    n_clusters: int        # B (padded to kernel tile)
+    elems_per_cluster: int
+    nodes_per_elem: int
+    lanes: int             # Rp = ceil(k*E_c/128)*128
+    win_n: int             # Wn
+    win_c: int             # Wc
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PackedPlan:
+    """Cluster/window/permutation plan for the packed operator."""
+
+    win_nodes: jnp.ndarray    # [B, Wn] int32 node-block row (pad -> Nb)
+    wslot: jnp.ndarray        # [B, 128] window index of slot (pad -> Wn)
+    jslot: jnp.ndarray        # [B, 128] lane within window row
+    lconn: jnp.ndarray        # [B, Rp] slot of each element lane
+    winc: jnp.ndarray         # [Nb, Wc] int32 cluster (pad -> B)
+    slotidx: jnp.ndarray      # [Nb, Wc, 128] slot of node in cluster (-1)
+    new_from_old: jnp.ndarray  # [N] int32
+    old_from_new: jnp.ndarray  # [Nb*128] int32 (-1 pad)
+    esrc: jnp.ndarray         # [B*E_c] int32 original element id (-1 pad)
+    meta: _PackedMeta
+
+    # -- construction ------------------------------------------------------
+    @staticmethod
+    def build(coords, conn, n_nodes: int, elems_per_cluster: int = 32,
+              order: Optional[np.ndarray] = None) -> "PackedPlan":
+        conn = np.asarray(conn)
+        coords = np.asarray(coords)
+        M, k = conn.shape
+        E_c = elems_per_cluster
+        if order is None:
+            order = morton_order(coords, conn)
+        conn_m = conn[order].astype(np.int64)
+
+        # clusters: E_c consecutive Morton elements; halve ranges whose
+        # unique-node count exceeds the 128-slot budget
+        starts = np.arange(0, M, E_c)
+        ranges = [(int(s), int(min(s + E_c, M)), E_c) for s in starts]
+        for _ in range(3):
+            rows = np.full((len(ranges), E_c * k), -1, np.int64)
+            for i, (a, b, _) in enumerate(ranges):     # bounded: ~M/E_c iters
+                rows[i, : (b - a) * k] = conn_m[a:b].reshape(-1)
+            cnt = _chunk_unique_counts(rows)
+            if (cnt <= L_SLOTS).all():
+                break
+            new_ranges = []
+            for i, (a, b, w) in enumerate(ranges):
+                if cnt[i] <= L_SLOTS and b - a <= E_c:
+                    new_ranges.append((a, b, E_c))
+                else:
+                    mid = (a + b) // 2
+                    new_ranges.append((a, mid, E_c))
+                    new_ranges.append((mid, b, E_c))
+            ranges = new_ranges
+
+        B = len(ranges)
+        Bpad = -(-B // 8) * 8
+        conn_c = np.full((Bpad, E_c, k), -1, np.int64)
+        esrc = np.full((Bpad, E_c), -1, np.int64)
+        for i, (a, b, _) in enumerate(ranges):
+            conn_c[i, : b - a] = conn_m[a:b]
+            esrc[i, : b - a] = order[a:b]
+        B = Bpad
+
+        # first-touch node numbering (cluster-major)
+        flat = conn_c.reshape(-1)
+        valid = flat >= 0
+        uniq, first_idx = np.unique(flat[valid], return_index=True)
+        touch_order = np.argsort(first_idx, kind="stable")
+        new_from_old = np.full(n_nodes, -1, np.int64)
+        new_from_old[uniq[touch_order]] = np.arange(uniq.size)
+        # unreferenced nodes go after all referenced ones (stable)
+        missing = np.nonzero(new_from_old < 0)[0]
+        new_from_old[missing] = uniq.size + np.arange(missing.size)
+        Nb = -(-n_nodes // BLK)
+        Nb = -(-Nb // 8) * 8
+        Npad = Nb * BLK
+        old_from_new = np.full(Npad, -1, np.int64)
+        old_from_new[new_from_old] = np.arange(n_nodes)
+
+        gconn = np.where(conn_c >= 0, new_from_old[np.maximum(conn_c, 0)], -1)
+
+        # per-cluster slots (sorted by new node id — deterministic)
+        rows = gconn.reshape(B, E_c * k)
+        srt = np.sort(rows, axis=1)
+        first = np.ones_like(srt, dtype=bool)
+        first[:, 1:] = srt[:, 1:] != srt[:, :-1]
+        first &= srt >= 0
+        n_slots = first.sum(axis=1)
+        if int(n_slots.max()) > L_SLOTS:
+            raise ValueError("cluster slot overflow after splitting; "
+                             "lower elems_per_cluster")
+        l2g = np.full((B, L_SLOTS), -1, np.int64)
+        bidx = np.broadcast_to(np.arange(B)[:, None], srt.shape)
+        slot_of_sorted = np.cumsum(first, axis=1) - 1
+        l2g[bidx[first], slot_of_sorted[first]] = srt[first]
+        # slot of every (b, position): match each row entry to its slot
+        order_in_row = np.argsort(rows, axis=1, kind="stable")
+        slot_flat = np.zeros_like(rows)
+        # sorted positions -> slot ids (invalid entries share slot of -1s)
+        slot_sorted = np.maximum(slot_of_sorted, 0)
+        np.put_along_axis(slot_flat, order_in_row, slot_sorted, axis=1)
+        slot_of_entry = slot_flat.reshape(B, E_c, k)        # [B, E_c, k]
+
+        # element-lane slot table, kk-major: r = kk * E_c + e
+        Rp = -(-k * E_c // 128) * 128
+        lconn = np.zeros((B, Rp), np.int64)
+        lconn[:, : k * E_c] = np.transpose(slot_of_entry, (0, 2, 1)
+                                           ).reshape(B, k * E_c)
+
+        # node-block windows per cluster + per-slot source coordinates
+        blk = np.where(l2g >= 0, l2g // BLK, -1)
+        bsort = np.sort(blk, axis=1)
+        bfirst = np.ones_like(bsort, dtype=bool)
+        bfirst[:, 1:] = bsort[:, 1:] != bsort[:, :-1]
+        bfirst &= bsort >= 0
+        Wn = int(bfirst.sum(axis=1).max()) if B else 1
+        Wn = max(Wn, 1)
+        win_nodes = np.full((B, Wn), Nb, np.int64)          # pad -> zero row
+        # vectorized window fill: emit (b, block) unique pairs in block order
+        bidx2 = np.broadcast_to(np.arange(B)[:, None], bsort.shape)
+        pair_b = bidx2[bfirst]
+        pair_blk = bsort[bfirst]
+        pos_in_b = (np.cumsum(bfirst, axis=1) - 1)[bfirst]
+        win_nodes[pair_b, pos_in_b] = pair_blk
+        # per-slot source coordinates: window index of the slot's block
+        # (rows of win_nodes are block-sorted; Wn is tiny, so a broadcast
+        # equality match is cheap and vectorized)
+        wslot = np.full((B, L_SLOTS), Wn, np.int64)
+        jslot = np.zeros((B, L_SLOTS), np.int64)
+        vb, vs = np.nonzero(l2g >= 0)
+        g = l2g[vb, vs]
+        w = np.argmax(win_nodes[vb] == (g // BLK)[:, None], axis=1)
+        wslot[vb, vs] = w
+        jslot[vb, vs] = g % BLK
+
+        # cluster windows per node-block + slot index of each node
+        jblk = g // BLK
+        pairs = np.stack([jblk, vb], axis=1)
+        up = np.unique(pairs, axis=0)
+        Wc = int(np.bincount(up[:, 0], minlength=Nb).max()) if up.size else 1
+        Wc = max(Wc, 1)
+        winc = np.full((Nb, Wc), B, np.int64)               # pad -> zero row
+        cnt = np.zeros(Nb, np.int64)
+        # emission order: sorted by (block, cluster) — deterministic
+        pos = np.zeros(up.shape[0], np.int64)
+        srt_blocks, blk_starts = np.unique(up[:, 0], return_index=True)
+        pos = np.arange(up.shape[0]) - blk_starts[
+            np.searchsorted(srt_blocks, up[:, 0])]
+        winc[up[:, 0], pos] = up[:, 1]
+        # map each (slot, node) to its (block, window) cell
+        key = up[:, 0] * np.int64(B + 1) + up[:, 1]
+        w_of_pair = np.searchsorted(key, jblk * np.int64(B + 1) + vb)
+        slotidx = np.full((Nb, Wc, BLK), -1, np.int64)
+        slotidx[jblk, pos[w_of_pair], g % BLK] = vs
+
+        meta = _PackedMeta(n_nodes, Nb, B, E_c, k, Rp, Wn, Wc)
+        i32 = lambda a: jnp.asarray(a.astype(np.int32))  # noqa: E731
+        return PackedPlan(
+            win_nodes=i32(win_nodes), wslot=i32(wslot), jslot=i32(jslot),
+            lconn=i32(lconn), winc=i32(winc), slotidx=i32(slotidx),
+            new_from_old=i32(new_from_old), old_from_new=i32(old_from_new),
+            esrc=i32(esrc.reshape(-1)), meta=meta)
+
+    # -- packing helpers (device) -------------------------------------------
+    def pack(self, u):
+        """u [N, 3] -> X [Nb, 384] (pad nodes zero)."""
+        m = self.meta
+        Npad = m.n_blocks * BLK
+        src = jnp.maximum(self.old_from_new, 0)
+        vals = jnp.where((self.old_from_new >= 0)[:, None],
+                         u[src], jnp.zeros((1, 3), u.dtype))     # [Npad, 3]
+        X = vals.reshape(m.n_blocks, BLK, 3)
+        return jnp.transpose(X, (0, 2, 1)).reshape(m.n_blocks, ROW)
+
+    def unpack(self, X):
+        """X [Nb, 384] -> u [N, 3]."""
+        m = self.meta
+        u = jnp.transpose(X.reshape(m.n_blocks, 3, BLK), (0, 2, 1))
+        return u.reshape(m.n_blocks * BLK, 3)[self.new_from_old]
+
+    def pack_np(self, u: np.ndarray) -> np.ndarray:
+        m = self.meta
+        out = np.zeros((m.n_blocks * BLK, 3), u.dtype)
+        out[np.asarray(self.new_from_old)] = u
+        out = out.reshape(m.n_blocks, BLK, 3).transpose(0, 2, 1)
+        return np.ascontiguousarray(out).reshape(m.n_blocks, ROW)
+
+
+# ---------------------------------------------------------------------------
+# planar partial-assembly compute (dense [B, E_c] tiles, pure elementwise)
+# ---------------------------------------------------------------------------
+
+def pa_apply_planar(ue3, Jinv, W, dN, lam, mu):
+    """Partial-assembly action in the fully dense planar layout.
+
+    Args:
+      ue3:  [3, k, B, E_c] element nodal values (component / node planes).
+      Jinv: [qJ, 9, B, E_c] with qJ in {1, q} (row-major J^-1 entries).
+      W:    [q, B, E_c] w * detJ (zero on pad elements).
+      dN:   host [q, k, 3] reference gradients.
+    Returns:
+      [3, k, B, E_c] element nodal forces.
+
+    Same math as ops.partial.pa_apply_components; this layout's tiles are
+    (B, E_c) so every op is a dense VPU pass (no lane padding at all for
+    E_c a multiple of 8 and B a multiple of 128 — and only (128/E_c)x for
+    small E_c on the minor dim).
+    """
+    dN = np.asarray(dN)
+    q, k, _ = dN.shape
+    qJ = Jinv.shape[0]
+    Fe = [[None] * k for _ in range(3)]
+    for qi in range(q):
+        Ji = [[Jinv[min(qi, qJ - 1), 3 * i + j] for j in range(3)]
+              for i in range(3)]
+        Hhat = [[None] * 3 for _ in range(3)]
+        for a in range(3):
+            for c in range(3):
+                acc = None
+                for kk in range(k):
+                    wgt = float(dN[qi, kk, a])
+                    if wgt == 0.0:
+                        continue
+                    term = wgt * ue3[c, kk]
+                    acc = term if acc is None else acc + term
+                Hhat[a][c] = acc if acc is not None else 0.0
+        H = [[sum(Ji[i][j] * Hhat[j][c] for j in range(3)) for c in range(3)]
+             for i in range(3)]
+        tr = H[0][0] + H[1][1] + H[2][2]
+        sig = [[mu * (H[i][c] + H[c][i]) for c in range(3)] for i in range(3)]
+        for i in range(3):
+            sig[i][i] = sig[i][i] + lam * tr
+        Wq = W[qi]
+        T = [[Wq * sum(Ji[i][j] * sig[i][c] for i in range(3))
+              for c in range(3)] for j in range(3)]
+        for c in range(3):
+            for kk in range(k):
+                acc = None
+                for j in range(3):
+                    wgt = float(dN[qi, kk, j])
+                    if wgt == 0.0:
+                        continue
+                    term = wgt * T[j][c]
+                    acc = term if acc is None else acc + term
+                if acc is None:
+                    continue
+                prev = Fe[c][kk]
+                Fe[c][kk] = acc if prev is None else prev + acc
+    zero = jnp.zeros_like(W[0])
+    return jnp.stack([
+        jnp.stack([Fe[c][kk] if Fe[c][kk] is not None else zero
+                   for kk in range(k)], axis=0)
+        for c in range(3)], axis=0)
+
+
+def pa_diag_planar(Jinv, W, dN, lam, mu):
+    """Assembled-diagonal contributions [3, k, B, E_c] (see
+    ClusteredPartialOperator.diagonal for the formula)."""
+    dN = np.asarray(dN)
+    q, k, _ = dN.shape
+    qJ = Jinv.shape[0]
+    out = [[None] * k for _ in range(3)]
+    for qi in range(q):
+        Wq = W[qi]
+        for kk in range(k):
+            gvec = [sum(float(dN[qi, kk, j]) * Jinv[min(qi, qJ - 1), 3 * i + j]
+                        for j in range(3)) for i in range(3)]
+            norm2 = gvec[0] * gvec[0] + gvec[1] * gvec[1] + gvec[2] * gvec[2]
+            for a in range(3):
+                term = Wq * ((lam + mu) * gvec[a] * gvec[a] + mu * norm2)
+                prev = out[a][kk]
+                out[a][kk] = term if prev is None else prev + term
+    return jnp.stack([jnp.stack(out[a], axis=0) for a in range(3)], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# operator
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_static
+@dataclasses.dataclass(frozen=True)
+class _PackedFlags:
+    interpret: bool = False
+    exact_dot: bool = False
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PackedPartialOperator:
+    """X [Nb, 384] -> F [Nb, 384]; geometry-factor element compute."""
+
+    Jinv: jnp.ndarray         # [qJ, 9, B, E_c]
+    W: jnp.ndarray            # [q, B, E_c]
+    dN: _StaticTable          # [q, k, 3]
+    plan: PackedPlan
+    lam_mu: Tuple[float, float]
+    flags: _PackedFlags = _PackedFlags()
+
+    @staticmethod
+    def build(coords, conn, etype: str, E: float, nu: float,
+              n_nodes: Optional[int] = None, rule: str = "default",
+              plan: Optional[PackedPlan] = None, affine: Optional[bool] = None,
+              dtype=None, elems_per_cluster: int = 32,
+              interpret: bool = False, exact_dot: Optional[bool] = None
+              ) -> "PackedPartialOperator":
+        from ..core.materials import lame_parameters
+        from ..elements.solid import det3x3, inv3x3, jacobians
+        from ..elements.tables import element_table
+
+        conn = np.asarray(conn)
+        coords_np = np.asarray(coords)
+        if n_nodes is None and plan is None:
+            raise ValueError("pass n_nodes or a prebuilt plan")
+        if plan is None:
+            plan = PackedPlan.build(coords_np, conn, int(n_nodes),
+                                    elems_per_cluster)
+        m = plan.meta
+        table = element_table(etype, rule)
+        dtype = dtype or jnp.asarray(coords).dtype
+        if exact_dot is None:
+            exact_dot = jnp.dtype(dtype) == jnp.dtype(jnp.float64)
+
+        esrc = np.asarray(plan.esrc)
+        valid = esrc >= 0
+        conn_sel = conn[np.maximum(esrc, 0)]
+        J = jacobians(jnp.asarray(coords_np, dtype), jnp.asarray(conn_sel),
+                      table, dtype)
+        detJ = det3x3(J)
+        Jinv = inv3x3(J, detJ)
+        W = jnp.asarray(table.weights, dtype)[None, :] * detJ
+        W = W * jnp.asarray(valid, dtype)[:, None]   # zero pad elements
+        if affine is None:
+            spread = (jnp.max(jnp.abs(J - J[:, :1]))
+                      / (jnp.max(jnp.abs(J)) + 1e-30))
+            affine = bool(jax.device_get(spread) < 1e-4)
+        if affine:
+            Jinv = Jinv[:, :1]
+        qJ = Jinv.shape[1]
+        q = W.shape[1]
+        B, E_c = m.n_clusters, m.elems_per_cluster
+        # [B*E_c, q, 3, 3] -> [qJ, 9, B, E_c]
+        Jp = jnp.transpose(Jinv.reshape(B, E_c, qJ, 9), (2, 3, 0, 1))
+        Wp = jnp.transpose(W.reshape(B, E_c, q), (2, 0, 1))
+        lam, mu = lame_parameters(E, nu)
+        return PackedPartialOperator(
+            Jinv=Jp, W=Wp, dN=_StaticTable.of(table.dN), plan=plan,
+            lam_mu=(float(lam), float(mu)),
+            flags=_PackedFlags(interpret, bool(exact_dot)))
+
+    # ------------------------------------------------------------------
+    def _lanes_to_planar(self, ue):
+        """[B, 3, Rp] -> [3, k, B, E_c] (kk-major lanes)."""
+        m = self.plan.meta
+        k, E_c, B = m.nodes_per_elem, m.elems_per_cluster, m.n_clusters
+        u = ue[:, :, : k * E_c].reshape(B, 3, k, E_c)
+        return jnp.transpose(u, (1, 2, 0, 3))
+
+    def _planar_to_lanes(self, fe3):
+        """[3, k, B, E_c] -> [B, 3, Rp]."""
+        m = self.plan.meta
+        k, E_c, B, Rp = (m.nodes_per_elem, m.elems_per_cluster,
+                         m.n_clusters, m.lanes)
+        f = jnp.transpose(fe3, (2, 0, 1, 3)).reshape(B, 3, k * E_c)
+        if Rp > k * E_c:
+            f = jnp.pad(f, ((0, 0), (0, 0), (0, Rp - k * E_c)))
+        return f
+
+    def _finish(self, fe3):
+        from . import packed_kernels as pk
+        fl = self.flags
+        Fe = self._planar_to_lanes(fe3)
+        Yc = pk.compress(Fe, self.plan.lconn, interpret=fl.interpret,
+                         exact_dot=fl.exact_dot)
+        Ycp = jnp.concatenate([Yc, jnp.zeros((1, ROW), Yc.dtype)], axis=0)
+        Ycw = Ycp[self.plan.winc]
+        return pk.combine(Ycw, self.plan.slotidx, interpret=fl.interpret)
+
+    def __call__(self, X):
+        from . import packed_kernels as pk
+        fl = self.flags
+        lam, mu = self.lam_mu
+        Xp = jnp.concatenate([X, jnp.zeros((1, ROW), X.dtype)], axis=0)
+        Xw = Xp[self.plan.win_nodes]                       # [B, Wn, 384]
+        ue = pk.expand(Xw, self.plan.wslot, self.plan.jslot, self.plan.lconn,
+                       interpret=fl.interpret)             # [B, 3, Rp]
+        ue3 = self._lanes_to_planar(ue)
+        fe3 = pa_apply_planar(ue3, self.Jinv, self.W, self.dN.array, lam, mu)
+        return self._finish(fe3)
+
+    def diagonal(self):
+        """Assembled diagonal as a packed field [Nb, 384]."""
+        lam, mu = self.lam_mu
+        d3 = pa_diag_planar(self.Jinv, self.W, self.dN.array, lam, mu)
+        return self._finish(d3)

@@ -1,0 +1,222 @@
+"""Pallas TPU kernels for the packed-layout clustered operator (ops.packed).
+
+Design facts measured on v5e (see PERFORMANCE.md and git log):
+
+* `[N, 3]`-minor arrays are lane-padded 42x; every elementwise pass and
+  every gathered row moves 512 B per logical row.  The packed layout
+  stores ALL hot vectors as dense `[rows, 384]` tiles (lanes =
+  component * 128 + node % 128), so passes and row gathers move exactly
+  the logical bytes.
+* Mosaic's 2-D dynamic gather (`jnp.take_along_axis` along lanes) is
+  EXACT (measured bitwise vs numpy) and runs ~32 lanes/cycle — the
+  in-VMEM replacement for both the one-hot expand and the cross-cluster
+  combine, with zero MXU precision concerns.
+* One-hot MXU contractions with f32 data are only exact when the f32
+  operand is split into 3 bf16 terms (x = h1+h2+h3 exactly; products
+  against a 0/1 matrix are exact; f32 accumulate) — measured max abs err
+  0.0 vs 7.6e-3 for the default single-pass bf16 fold.  Used for the
+  in-cluster compress (a scatter-sum the gather unit cannot express).
+
+Pipeline (see ops.packed for the layout/plan construction):
+
+    X [Nb, 384] --(XLA row-gather of window rows)--> Xw [B, Wn, 384]
+    expand_kernel:  slots Uc via masked lane-gather over windows,
+                    then element lanes ue [B, 3, Rp] via slot lane-gather
+    (partial-assembly compute in XLA, ops.packed.pa_apply_planar)
+    compress_kernel: Fe [B, 3, Rp] -> Yc [B, 384] (split3 one-hot MXU)
+    Yc --(XLA row-gather of cluster windows)--> Ycw [Nb, Wc, 384]
+    combine_kernel: masked lane-gather + fixed-order sum -> F [Nb, 384]
+
+Everything is deterministic: fixed window order, fixed matmul
+accumulation, no atomics.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _lane_gather(src, idx):
+    """Exact per-row lane gather: out[r, l] = src[r, idx[r, l]] (2-D only)."""
+    return jnp.take_along_axis(src, idx, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# expand: X window rows -> element-lane values
+# ---------------------------------------------------------------------------
+
+def _expand_kernel(xw_ref, wslot_ref, jslot_ref, lconn_ref, out_ref, *,
+                   TB: int, Wn: int, Rp: int):
+    """Two-hop expand for TB clusters.
+
+    hop 1 (slots):  Uc[c, s] = X[win[w], c*128 + jslot[s]]  for w == wslot[s]
+    hop 2 (lanes):  ue[c, r] = Uc[c, lconn[r]]
+    """
+    wslot = wslot_ref[:]                       # [TB, 128] window of each slot
+    jslot = jslot_ref[:]                       # [TB, 128] lane within window
+    uc = []                                    # per-component [TB, 128]
+    for c in range(3):
+        acc = jnp.zeros((TB, 128), out_ref.dtype)
+        for w in range(Wn):
+            src = xw_ref[:, w, c * 128:(c + 1) * 128]          # [TB, 128]
+            g = _lane_gather(src, jslot)
+            acc = acc + jnp.where(wslot == w, g, 0.0)
+        uc.append(acc)
+    lconn = lconn_ref[:]                       # [TB, Rp] slot of each lane
+    for c in range(3):
+        # dynamic_gather sources must fit one vreg (128 lanes): gather the
+        # Rp output lanes in 128-wide chunks from the 128-slot source
+        chunks = [_lane_gather(uc[c], lconn[:, g * 128:(g + 1) * 128])
+                  for g in range(Rp // 128)]
+        out_ref[:, c, :] = jnp.concatenate(chunks, axis=1)
+
+
+def expand(xw, wslot, jslot, lconn, *, tile: int = 8,
+           interpret: bool = False):
+    """[B, Wn, 384] window rows -> ue [B, 3, Rp] element-lane values.
+
+    wslot/jslot: [B, 128] per-slot source (window index, lane in window);
+    empty slots carry wslot = Wn (never matches) so they read 0.
+    lconn: [B, Rp] slot of each element lane (pad lanes -> an empty slot).
+    """
+    B, Wn, _ = xw.shape
+    Rp = lconn.shape[1]
+    TB = tile
+    while B % TB:
+        TB //= 2
+    kern = functools.partial(_expand_kernel, TB=TB, Wn=Wn, Rp=Rp)
+    return pl.pallas_call(
+        kern,
+        grid=(B // TB,),
+        in_specs=[
+            pl.BlockSpec((TB, Wn, 384), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, Rp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TB, 3, Rp), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 3, Rp), xw.dtype),
+        interpret=interpret,
+    )(xw, wslot, jslot, lconn)
+
+
+# ---------------------------------------------------------------------------
+# compress: element-lane values -> per-cluster slot sums (packed row)
+# ---------------------------------------------------------------------------
+
+def _split3_dot(x, onehot_bf16, exact_dot: bool):
+    """x [n, m, K] @ onehot [n, K, L] exactly (f32 via 3 bf16 terms)."""
+    if exact_dot:
+        return jax.lax.dot_general(
+            x, onehot_bf16.astype(x.dtype),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=x.dtype,
+            precision=jax.lax.Precision.HIGHEST)
+    acc = None
+    r = x
+    for _ in range(3):
+        h = r.astype(jnp.bfloat16)
+        r = r - h.astype(jnp.float32)
+        part = jax.lax.dot_general(
+            h, onehot_bf16, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        acc = part if acc is None else acc + part
+    return acc
+
+
+def _compress_kernel(fe_ref, lconn_ref, out_ref, *, TB: int, Rp: int,
+                     exact_dot: bool):
+    """Yc[c, s] = sum_{r: lconn[r]==s} Fe[c, r] — one-hot MXU scatter-sum."""
+    lconn = lconn_ref[:]                                       # [TB, Rp]
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (TB, Rp, 128), 2)
+    oh = (lconn[:, :, None] == iota_s)
+    oh = oh.astype(fe_ref.dtype if exact_dot else jnp.bfloat16)
+    y = _split3_dot(fe_ref[:], oh, exact_dot)                  # [TB, 3, 128]
+    for c in range(3):  # per-lane-range writes (Mosaic cannot lane-concat
+        out_ref[:, c * 128:(c + 1) * 128] = (  # offset sublane slices)
+            y[:, c].astype(out_ref.dtype))
+
+
+def compress(fe, lconn, *, tile: int = 8, interpret: bool = False,
+             exact_dot: bool = False):
+    """Fe [B, 3, Rp] -> Yc [B, 384] (slot sums, packed row).
+
+    Pad lanes of lconn must point at an UNUSED slot (or any slot whose
+    Fe lanes are zero) — ops.packed routes them to slot sums of zero rows.
+    exact_dot=True uses a HIGHEST-precision dot instead of the bf16x3
+    split (for f64 / interpreter runs).
+    """
+    B, _, Rp = fe.shape
+    TB = tile
+    while B % TB:
+        TB //= 2
+    kern = functools.partial(_compress_kernel, TB=TB, Rp=Rp,
+                             exact_dot=exact_dot)
+    return pl.pallas_call(
+        kern,
+        grid=(B // TB,),
+        in_specs=[
+            pl.BlockSpec((TB, 3, Rp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, Rp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TB, 384), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 384), fe.dtype),
+        interpret=interpret,
+    )(fe, lconn)
+
+
+# ---------------------------------------------------------------------------
+# combine: cluster-slot sums -> node rows (cross-cluster reduction)
+# ---------------------------------------------------------------------------
+
+def _combine_kernel(ycw_ref, slotidx_ref, out_ref, *, TJ: int, Wc: int):
+    """F[c, l] = sum_w Ycw[w][c, slot(l)] over the block's cluster window."""
+    acc = [jnp.zeros((TJ, 128), out_ref.dtype) for _ in range(3)]
+    for w in range(Wc):
+        sidx = slotidx_ref[:, w, :]                            # [TJ, 128]
+        valid = sidx >= 0
+        idx = jnp.maximum(sidx, 0)
+        for c in range(3):
+            src = ycw_ref[:, w, c * 128:(c + 1) * 128]
+            g = _lane_gather(src, idx)
+            acc[c] = acc[c] + jnp.where(valid, g, 0.0)
+    for c in range(3):
+        out_ref[:, c * 128:(c + 1) * 128] = acc[c]
+
+
+def combine(ycw, slotidx, *, tile: int = 8, interpret: bool = False):
+    """Ycw [Nb, Wc, 384] gathered cluster rows + slotidx [Nb, Wc, 128]
+    (slot of each node in that cluster, -1 = absent) -> F [Nb, 384].
+
+    Deterministic: fixed window order per block."""
+    Nb, Wc, _ = ycw.shape
+    TJ = tile
+    while Nb % TJ:
+        TJ //= 2
+    kern = functools.partial(_combine_kernel, TJ=TJ, Wc=Wc)
+    return pl.pallas_call(
+        kern,
+        grid=(Nb // TJ,),
+        in_specs=[
+            pl.BlockSpec((TJ, Wc, 384), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TJ, Wc, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TJ, 384), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Nb, 384), ycw.dtype),
+        interpret=interpret,
+    )(ycw, slotidx)

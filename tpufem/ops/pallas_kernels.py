@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from ..core.xmath import einsum as _xeinsum
 
 
 def _onehot(lc, L, dtype):
@@ -115,7 +116,7 @@ def cluster_spmv(K, lconn, Uc, *, tile_clusters: int = 8,
     _, E_c, d, _ = K.shape
     ue = cluster_expand(lconn, Uc, tile_clusters=tile_clusters,
                         interpret=interpret)              # [B, E_c*k, nd]
-    Fe = jnp.einsum("beij,bej->bei", K,
+    Fe = _xeinsum("beij,bej->bei", K,
                     ue.reshape(B, E_c, d))                # XLA batched GEMV
     return cluster_compress(lconn, Fe.reshape(B, E_c * (d // nd), nd), L,
                             tile_clusters=tile_clusters, interpret=interpret)

@@ -29,6 +29,7 @@ from ..core.materials import lame_parameters
 from ..elements.solid import det3x3, inv3x3, jacobians
 from ..elements.tables import ElementTable, element_table
 from .scatter import ScatterPlan
+from ..core.xmath import einsum as _xeinsum
 
 
 def pa_apply_components(ue_cols, Jinv_cols, W, dN, lam, mu):
@@ -158,16 +159,16 @@ class PartialAssemblyOperator:
         lam, mu = self.meta.lam, self.meta.mu
         ue = u[self.conn]                                   # [M, k, 3]
         # reference-coordinate displacement gradient per ip
-        Hhat = jnp.einsum("qka,mkb->mqab", self.dN, ue)     # [M, q, 3, 3]
+        Hhat = _xeinsum("qka,mkb->mqab", self.dN, ue)     # [M, q, 3, 3]
         # physical gradient H[i, b] = sum_j Jinv[i, j] Hhat[j, b]
-        H = jnp.einsum("mqij,mqjb->mqib", self.Jinv_b(), Hhat)
+        H = _xeinsum("mqij,mqjb->mqib", self.Jinv_b(), Hhat)
         eps = 0.5 * (H + jnp.swapaxes(H, -1, -2))
         tr = eps[..., 0, 0] + eps[..., 1, 1] + eps[..., 2, 2]
         sig = 2.0 * mu * eps
         sig = sig + (lam * tr)[..., None, None] * jnp.eye(3, dtype=u.dtype)
         # T[j, b] = w detJ sum_i Jinv[i, j] sig[i, b]
-        T = jnp.einsum("mq,mqij,mqib->mqjb", self.W, self.Jinv_b(), sig)
-        Fe = jnp.einsum("qkj,mqjb->mkb", self.dN, T)        # [M, k, 3]
+        T = _xeinsum("mq,mqij,mqib->mqjb", self.W, self.Jinv_b(), sig)
+        Fe = _xeinsum("qkj,mqjb->mkb", self.dN, T)        # [M, k, 3]
         return self.plan.scatter(Fe.reshape(Fe.shape[0], -1)).reshape(u.shape)
 
     def Jinv_b(self):
@@ -180,8 +181,8 @@ class PartialAssemblyOperator:
     def diagonal(self):
         """Assembled diagonal [n_dof]: (lam+mu) g_ia^2 + mu |g_i|^2."""
         lam, mu = self.meta.lam, self.meta.mu
-        g = jnp.einsum("mqij,qkj->mqki", self.Jinv_b(), self.dN)  # [M,q,k,3]
-        g2 = jnp.einsum("mq,mqka,mqka->mka", self.W, g, g)        # sum_q W g^2
+        g = _xeinsum("mqij,qkj->mqki", self.Jinv_b(), self.dN)  # [M,q,k,3]
+        g2 = _xeinsum("mq,mqka,mqka->mka", self.W, g, g)        # sum_q W g^2
         norm2 = jnp.sum(g2, axis=-1, keepdims=True)               # [M,k,1]
         d = (lam + mu) * g2 + mu * norm2                          # [M,k,3]
         return self.plan.scatter(d.reshape(d.shape[0], -1))

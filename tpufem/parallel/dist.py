@@ -31,6 +31,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.scatter import element_dofs
 from ..solvers.cg import CONVERGED, MAX_ITER, NAN_INF, NOT_SPD, RUNNING, SolveInfo
+from ..core.xmath import einsum as _xeinsum
 
 
 @jax.tree_util.register_static
@@ -170,7 +171,7 @@ class DistFEM:
         inc = inc[0]
         u_full = jax.lax.all_gather(u_own, self.axis, tiled=True)  # [P*B,3]
         ue = u_full[conn].reshape(m.elems_per_part, m.dof_per_elem)
-        Fe = jnp.einsum("mij,mj->mi", K, ue)
+        Fe = _xeinsum("mij,mj->mi", K, ue)
         rows = Fe.reshape(-1, 3)
         padded = jnp.concatenate([rows, jnp.zeros((1, 3), rows.dtype)], axis=0)
         F_full = jnp.sum(padded[inc], axis=1)                      # [P*B, 3]

@@ -31,6 +31,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..solvers.cg import CONVERGED, MAX_ITER, NAN_INF, NOT_SPD, RUNNING, SolveInfo
 from .dist import DistPartition, make_mesh_1d
+from ..core.xmath import einsum as _xeinsum
 
 
 @jax.tree_util.register_static
@@ -204,7 +205,7 @@ class HaloFEM:
             u_loc = u_loc.at[recv_slot[ri]].add(
                 recv * recv_mask[ri][:, None])
         ue = u_loc[conn_local].reshape(m.elems_per_part, m.dof_per_elem)
-        Fe = jnp.einsum("mij,mj->mi", K, ue)
+        Fe = _xeinsum("mij,mj->mi", K, ue)
         rows = Fe.reshape(-1, nd)
         padded = jnp.concatenate([rows, jnp.zeros((1, nd), rows.dtype)],
                                  axis=0)

@@ -30,6 +30,7 @@ import numpy as np
 
 from ..ops.assembly import assemble_dense
 from .cg import CONVERGED, MAX_ITER, RUNNING, SolveInfo
+from ..core.xmath import einsum as _xeinsum
 
 
 @jax.tree_util.register_static
@@ -73,11 +74,11 @@ class HybridSystem:
 
     def schur_matvec(self, vG):
         vp = self._gather_iface(vG)                                # [P, 3nG]
-        t1 = jnp.einsum("pig,pg->pi", self.K_IG, vp)               # K_IG v
+        t1 = _xeinsum("pig,pg->pi", self.K_IG, vp)               # K_IG v
         t2 = jax.vmap(lambda L, b: jax.scipy.linalg.cho_solve((L, True), b))(
             self.chol, t1)                                         # K_II^-1
-        t3 = jnp.einsum("pig,pi->pg", self.K_IG, t2)               # K_GI ..
-        sp = jnp.einsum("pgh,ph->pg", self.K_GG, vp) - t3
+        t3 = _xeinsum("pig,pi->pg", self.K_IG, t2)               # K_GI ..
+        sp = _xeinsum("pgh,ph->pg", self.K_GG, vp) - t3
         return self._scatter_iface(sp)
 
     def solve(self, f, tol: float = 1e-10, max_iter: int = 500,
@@ -90,7 +91,7 @@ class HybridSystem:
         y = jax.vmap(lambda L, b: jax.scipy.linalg.cho_solve((L, True), b))(
             self.chol, fIp)
         g = fG - self._scatter_iface(
-            jnp.einsum("pig,pi->pg", self.K_IG, y))
+            _xeinsum("pig,pi->pg", self.K_IG, y))
 
         # CG on the interface
         def A(v):
@@ -126,7 +127,7 @@ class HybridSystem:
 
         # interior back-substitution
         vp = self._gather_iface(uG)
-        rhs = fIp - jnp.einsum("pig,pg->pi", self.K_IG, vp)
+        rhs = fIp - _xeinsum("pig,pg->pi", self.K_IG, vp)
         uI = jax.vmap(lambda L, b: jax.scipy.linalg.cho_solve((L, True), b))(
             self.chol, rhs).reshape(m.n_parts, -1, 3)
         u = jnp.zeros_like(f)
