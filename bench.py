@@ -1,13 +1,16 @@
-"""Benchmark: matrix-free SpMV / assembly / CG throughput on the real chip.
+"""Benchmark: matrix-free SpMV / assembly / PCG throughput on the real chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extras"}.
 
 Primary metric: matrix-free SpMV throughput in element-nnz/s on the
 flagship c3d10 workload (nnz = M * d^2 multiply-adds actually performed —
-the reference's hottest path, solver/element.py:429-464).  The reference
-publishes no numbers (BASELINE.md), so vs_baseline is measured against a
-torch-CPU implementation of the reference's own gather/bmm/index_add
-pipeline, scaled to the same element count.
+the reference's hottest path, solver/element.py:429-464), through the
+packed-layout clustered operator (ops/packed.py — dense [rows, 384] tiles,
+Pallas lane-gather kernels).  vs_baseline is measured against a torch-CPU
+implementation of the reference's own gather/bmm/index_add pipeline (the
+reference publishes no numbers, BASELINE.md); extras.roofline_fraction is
+the honesty metric: achieved bytes/s over the measured 897 GB/s HBM bound
+for the minimal traffic the operator must move.
 
 Timing notes for the axon-tunneled TPU backend:
 * ``block_until_ready`` does NOT synchronize — every timed program returns
@@ -15,9 +18,10 @@ Timing notes for the axon-tunneled TPU backend:
 * There is a constant multi-ms tunnel round-trip per call; loop kernels are
   timed at two iteration counts and differenced (slope method) so the
   constant cancels.
-* Operators/plans are passed as pytree ARGUMENTS, never closed over —
-  closure constants are baked into the HLO and overflow the remote-compile
-  request size on large meshes.
+* Operators/plans are passed as pytree ARGUMENTS, never closed over.
+
+BENCH_SCALE=1 adds the north-star configuration (>=5M-element c3d10 PCG on
+one chip; ~8 min of host plan build + compile) to extras.scale.
 """
 from __future__ import annotations
 
@@ -39,24 +43,38 @@ def _timed_scalar(fn, *args, reps: int = 3) -> float:
     return float(np.median(ts))
 
 
+def _spmv_loop(d):
+    import jax
+    import jax.numpy as jnp
+
+    def make(iters):
+        @jax.jit
+        def f(opx, u):
+            def body(i, v):
+                return opx(v) * (1.0 / jnp.float32(d))
+            return jnp.sum(jax.lax.fori_loop(0, iters, body, u))
+        return f
+    return make
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
     import tpufem
+    from tpufem.ops.assembly import assemble_bsr, build_bsr_structure
     from tpufem.ops.clustered import ClusteredOperator
-    from tpufem.ops.operator import MatrixFreeOperator, diagonal_preconditioner
-    from tpufem.ops.scatter import ScatterPlan
-    from tpufem.solvers.cg import cg
-    from tpufem.solvers.constraints import Constraints
+    from tpufem.ops.packed import PackedPartialOperator, PackedSystem
     from tpufem.utils import meshgen
 
     n = int(os.environ.get("BENCH_N", "24"))  # 6*n^3 c3d10 elements
     coords, conn = meshgen.box_tet10(n, n, n)
-    N, M, k = coords.shape[0], conn.shape[0], conn.shape[1]
+    N, (M, k) = coords.shape[0], conn.shape
     d = 3 * k
     coords_j = jnp.asarray(coords, jnp.float32)
     conn_j = jnp.asarray(conn)
+    nnz = M * d * d
+    make_spmv = _spmv_loop(d)
 
     # --- assembly throughput (slope over repeat count) ------------------
     def make_assemble(reps):
@@ -74,52 +92,58 @@ def main():
     t_asm = max((t4 - t1) / 3, 1e-9)
     elems_per_s = M / t_asm
 
-    K = jax.jit(lambda c, cj: tpufem.solid.stiffness(c, cj, "c3d10", 200e9,
-                                                     0.3))(coords_j, conn_j)
-    plan = ScatterPlan.build(conn, N, 3)
-    # headline operator: cluster-structured (MXU one-hot local gather/scatter)
-    op = ClusteredOperator.build(K, conn, N, 3, elems_per_cluster=32)
-
-    # --- SpMV throughput (slope over loop length) -----------------------
-    def make_spmv(iters):
-        @jax.jit
-        def f(opx, u):
-            def body(i, v):
-                return opx(v) * (1.0 / jnp.float32(d))
-            return jnp.sum(jax.lax.fori_loop(0, iters, body, u))
-        return f
-
-    u0 = jnp.asarray(np.random.default_rng(0).standard_normal((N, 3)),
-                     jnp.float32)
-    I1, I2 = 5, 45
-    tA = _timed_scalar(make_spmv(I1), op, u0)
-    tB = _timed_scalar(make_spmv(I2), op, u0)
-    t_spmv = max((tB - tA) / (I2 - I1), 1e-9)
-    nnz = M * d * d
+    # --- headline: packed-layout partial-assembly operator --------------
+    op = PackedPartialOperator.build(coords_j, conn, "c3d10", 200e9, 0.3,
+                                     n_nodes=N)
+    u0 = np.random.default_rng(0).standard_normal((N, 3)).astype(np.float32)
+    X0 = jnp.asarray(op.plan.pack_np(u0))
+    tA = _timed_scalar(make_spmv(5), op, X0)
+    tB = _timed_scalar(make_spmv(45), op, X0)
+    t_spmv = max((tB - tA) / 40, 1e-9)
     nnz_per_s = nnz / t_spmv
+    # roofline honesty: minimal HBM bytes the operator must move per apply
+    # (geometry stream + window-gathered X rows + Yc twice + F out)
+    m = op.plan.meta
+    qJ, q = op.Jinv.shape[0], op.W.shape[0]
+    bytes_min = (m.n_clusters * m.elems_per_cluster * (qJ * 9 + q) * 4
+                 + m.n_clusters * (m.win_n + 2) * 1536
+                 + m.n_blocks * (m.win_c + 1) * 1536
+                 + m.n_blocks * m.win_c * 512)     # slotidx int32 stream
+    roofline_fraction = (bytes_min / t_spmv) / 897e9
 
-    # --- CG iterations/s (slope over max_iter) --------------------------
+    # --- packed PCG iterations/s ----------------------------------------
     fixed = meshgen.boundary_nodes(coords, 2, 0.0)
-    cons = Constraints.fixed(N, fixed, 3, dtype=np.float32)
-    dg = op.diagonal()
-    Minv = jnp.where(jnp.abs(dg) > 0, 1.0 / jnp.where(dg == 0, 1.0, dg),
-                     0.0).reshape(N, 3)
-
-    def make_cg(iters):
-        @jax.jit
-        def f(opx, consx, minvx, b):
-            u, info = cg(opx, b, constraints=consx, M_inv=minvx, tol=0.0,
-                         max_iter=iters, record_history=False)
-            return jnp.sum(u) + info.residual_norm
-        return f
-
+    sys_ = PackedSystem(op, fixed_nodes=fixed)
     b = np.zeros((N, 3), np.float32)
     b[meshgen.boundary_nodes(coords, 2, 1.0), 2] = -1e3
-    bj = jnp.asarray(b)
-    c1 = _timed_scalar(make_cg(10), op, cons, Minv, bj)
-    c2 = _timed_scalar(make_cg(60), op, cons, Minv, bj)
+
+    def pcg_time(iters):
+        _, info = sys_.solve(b, tol=0.0, max_iter=iters)
+        float(info.residual_norm)
+        t0 = time.perf_counter()
+        _, info = sys_.solve(b, tol=0.0, max_iter=iters)
+        float(info.residual_norm)
+        return time.perf_counter() - t0
+
+    c1, c2 = pcg_time(10), pcg_time(60)
     t_cg = max((c2 - c1) / 50, 1e-9)
     cg_iters_per_s = 1.0 / t_cg
+
+    # --- round-1 clustered operator (continuity) + BSR SpMV -------------
+    K = jax.jit(lambda c, cj: tpufem.solid.stiffness(
+        c, cj, "c3d10", 200e9, 0.3))(coords_j, conn_j)
+    opc = ClusteredOperator.build(K, conn, N, 3, elems_per_cluster=32)
+    uc = jnp.asarray(u0)
+    tc1 = _timed_scalar(make_spmv(5), opc, uc)
+    tc2 = _timed_scalar(make_spmv(25), opc, uc)
+    clustered_nnz_per_s = nnz / max((tc2 - tc1) / 20, 1e-9)
+
+    struct = build_bsr_structure(conn, N, 3)
+    A = assemble_bsr(K, k, struct)
+    tb1 = _timed_scalar(make_spmv(5), A, uc)
+    tb2 = _timed_scalar(make_spmv(25), A, uc)
+    t_bsr = max((tb2 - tb1) / 20, 1e-9)
+    bsr_nnz_per_s = struct.nnz / t_bsr
 
     # --- torch-CPU baseline (reference pipeline, small workload) -------
     vs_baseline = None
@@ -146,28 +170,73 @@ def main():
         for _ in range(reps):
             torch_spmv()
         t_torch = (time.perf_counter() - t0) / reps
-        torch_nnz_per_s = Ms * d * d / t_torch
-        vs_baseline = nnz_per_s / torch_nnz_per_s
+        vs_baseline = nnz_per_s / (Ms * d * d / t_torch)
     except Exception:
         vs_baseline = None
+
+    extras = {
+        "elements": M,
+        "nodes": N,
+        "element_type": "c3d10",
+        "operator": "packed(E_c=32, lane-gather Pallas)",
+        "assembly_elements_per_s": elems_per_s,
+        "cg_iters_per_s": cg_iters_per_s,
+        "spmv_seconds": t_spmv,
+        "roofline_fraction": roofline_fraction,
+        "clustered_nnz_per_s": clustered_nnz_per_s,
+        "bsr_assembled_nnz_per_s": bsr_nnz_per_s,
+        "bsr_nnz": struct.nnz,
+        "backend": jax.default_backend(),
+        "baseline": "torch-cpu reference gather/bmm/index_add pipeline",
+    }
+
+    # --- north-star scale configuration (env-gated: ~8 min setup) -------
+    if os.environ.get("BENCH_SCALE"):
+        ns = int(os.environ.get("BENCH_SCALE_N", "95"))
+        t0 = time.time()
+        sc, scn = meshgen.box_tet10(ns, ns, ns)
+        sN = sc.shape[0]
+        sM, sk = scn.shape
+        t_mesh = time.time() - t0
+        t0 = time.time()
+        sop = PackedPartialOperator.build(jnp.asarray(sc, jnp.float32), scn,
+                                          "c3d10", 200e9, 0.3, n_nodes=sN)
+        t_build = time.time() - t0
+        sX = jnp.asarray(sop.plan.pack_np(
+            np.random.default_rng(0).standard_normal((sN, 3)
+                                                     ).astype(np.float32)))
+        smake = _spmv_loop(3 * sk)
+        sa = _timed_scalar(smake(2), sop, sX, reps=2)
+        sb = _timed_scalar(smake(6), sop, sX, reps=2)
+        st = max((sb - sa) / 4, 1e-9)
+        ssys = PackedSystem(sop, fixed_nodes=meshgen.boundary_nodes(sc, 2, 0))
+        sb_f = np.zeros((sN, 3), np.float32)
+        sb_f[meshgen.boundary_nodes(sc, 2, 1.0), 2] = -1e3
+
+        def s_pcg(iters):
+            _, info = ssys.solve(sb_f, tol=0.0, max_iter=iters)
+            float(info.residual_norm)
+            t0 = time.perf_counter()
+            _, info = ssys.solve(sb_f, tol=0.0, max_iter=iters)
+            float(info.residual_norm)
+            return time.perf_counter() - t0
+
+        s1, s2 = s_pcg(3), s_pcg(13)
+        extras["scale"] = {
+            "elements": sM, "nodes": sN,
+            "spmv_nnz_per_s": sM * (3 * sk) ** 2 / st,
+            "spmv_seconds": st,
+            "cg_iters_per_s": 10.0 / max(s2 - s1, 1e-9),
+            "mesh_seconds": t_mesh,
+            "plan_build_seconds": t_build,
+        }
 
     result = {
         "metric": "spmv_element_nnz_per_s",
         "value": nnz_per_s,
         "unit": "nnz/s/chip",
         "vs_baseline": vs_baseline,
-        "extras": {
-            "elements": M,
-            "nodes": N,
-            "element_type": "c3d10",
-            "operator": "clustered(E_c=32)",
-            "assembly_elements_per_s": elems_per_s,
-            "cg_iters_per_s": cg_iters_per_s,
-            "spmv_seconds": t_spmv,
-            "spmv_hbm_gbps_est": (M * d * d * 4) / t_spmv / 1e9,
-            "backend": jax.default_backend(),
-            "baseline": "torch-cpu reference gather/bmm/index_add pipeline",
-        },
+        "extras": extras,
     }
     print(json.dumps(result))
 

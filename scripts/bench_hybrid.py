@@ -1,0 +1,89 @@
+"""Config-4 hybrid (Schur substructuring) benchmark — subdivision.ipynb
+cells 9-15 at real scale.
+
+Usage: python scripts/bench_hybrid.py [n] [n_parts]
+Default n=26 -> 105k c3d4 elements, 32 parts.  Reports build wall time
+(partition / per-part sparse assembly / Cholesky), interface size, solve
+time + interface-CG iterations, and the residual vs a matrix-free PCG
+reference solution.
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from tpufem.elements import solid
+    from tpufem.ops.operator import MatrixFreeOperator, diagonal_preconditioner
+    from tpufem.ops.scatter import ScatterPlan
+    from tpufem.parallel.partition import partition_elements
+    from tpufem.solvers.cg import cg
+    from tpufem.solvers.constraints import Constraints
+    from tpufem.solvers.hybrid import build_hybrid
+    from tpufem.utils import meshgen
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 26
+    n_parts = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    coords, conn = meshgen.box_tet(n, n, n)
+    N, M = coords.shape[0], conn.shape[0]
+    fixed = meshgen.boundary_nodes(coords, 2, 0.0)
+    print(f"mesh: M={M} c3d4, N={N}, parts={n_parts}", flush=True)
+
+    t0 = time.time()
+    labels, _ = partition_elements(conn, "c3d4", n_parts, 0)
+    t_part = time.time() - t0
+    sizes = np.bincount(labels, minlength=n_parts)
+    print(f"partition: {t_part:.1f}s  part sizes min/max={sizes.min()}/"
+          f"{sizes.max()}", flush=True)
+
+    t0 = time.time()
+    sys_ = build_hybrid(coords, conn, "c3d4", 200e9, 0.3, n_parts,
+                        fixed_nodes=fixed, labels=labels, dtype=jnp.float32)
+    t_build = time.time() - t0
+    m = sys_.meta
+    print(f"build (assembly+cholesky): {t_build:.1f}s  interface nodes="
+          f"{m.n_interface}  nI_max={m.nI_max} nG_max={m.nG_max}",
+          flush=True)
+
+    b = np.zeros((N, 3), np.float32)
+    b[meshgen.boundary_nodes(coords, 2, 1.0), 0] = 1e3
+    bj = jnp.asarray(b).at[jnp.asarray(fixed)].set(0.0)
+    t0 = time.time()
+    solve = jax.jit(lambda f: sys_.solve(f, tol=1e-4, max_iter=800))
+    u, info = solve(bj)
+    rn = float(info.residual_norm)
+    t_solve1 = time.time() - t0
+    t0 = time.time()
+    u, info = solve(bj)
+    float(info.residual_norm)
+    t_solve = time.time() - t0
+    print(f"solve: compile+run {t_solve1:.1f}s, warm {t_solve:.2f}s, "
+          f"interface-CG iters={int(info.iterations)} status="
+          f"{int(info.status)} ||r_S||={rn:.3e}", flush=True)
+
+    # reference: matrix-free PCG
+    K = solid.stiffness(jnp.asarray(coords, jnp.float32), jnp.asarray(conn),
+                        "c3d4", 200e9, 0.3)
+    op = MatrixFreeOperator(K=K, plan=ScatterPlan.build(conn, N, 3))
+    cons = Constraints.fixed(N, fixed, 3, dtype=np.float32)
+    Minv = diagonal_preconditioner([op]).reshape(N, 3)
+    u_ref, info_ref = jax.jit(lambda f: cg(
+        op, f, constraints=cons, M_inv=Minv, tol=1e-3, max_iter=8000,
+        dot_dtype=jnp.float32))(jnp.asarray(b))
+    ur = np.asarray(u_ref)
+    err = np.abs(np.asarray(u) - ur).max() / np.abs(ur).max()
+    print(f"vs matrix-free PCG ({int(info_ref.iterations)} iters): "
+          f"rel displacement diff {err:.2e}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -120,3 +120,51 @@ def test_packed_cg_solve():
     u = np.asarray(op.plan.unpack(uX))
     np.testing.assert_allclose(u, np.asarray(u_ref), rtol=1e-6,
                                atol=1e-9 * np.abs(np.asarray(u_ref)).max())
+
+
+def test_packed_chunked_matches_unchunked():
+    """Chunked apply (scale path) matches unchunked to fp roundoff."""
+    coords, conn = meshgen.box_tet10(6, 6, 6)
+    N = coords.shape[0]
+    op1 = PackedPartialOperator.build(jnp.asarray(coords), conn, "c3d10",
+                                      E, NU, n_nodes=N, interpret=True)
+    op2 = PackedPartialOperator.build(jnp.asarray(coords), conn, "c3d10",
+                                      E, NU, n_nodes=N, interpret=True,
+                                      chunk_budget_bytes=40_000)
+    assert op2.flags.cluster_chunks > 1 and op2.flags.block_chunks > 1
+    u = np.random.default_rng(3).standard_normal((N, 3))
+    X = op1.plan.pack(jnp.asarray(u))
+    F1 = np.asarray(op1(X))
+    F2 = np.asarray(op2(X))
+    # chunked and unchunked are different XLA programs (fori_loop vs flat),
+    # so FMA/fusion reassociation may differ by ~1 ulp; each program is
+    # itself bitwise deterministic across runs (checked below)
+    np.testing.assert_allclose(F2, F1, rtol=1e-12,
+                               atol=1e-13 * np.abs(F1).max())
+    np.testing.assert_allclose(np.asarray(op2.diagonal()),
+                               np.asarray(op1.diagonal()), rtol=1e-12)
+    np.testing.assert_array_equal(F2, np.asarray(op2(X)))
+
+
+def test_packed_system_solve():
+    from tpufem.ops.packed import PackedSystem
+    coords, conn = meshgen.box_tet10(3, 3, 3)
+    N = coords.shape[0]
+    op = PackedPartialOperator.build(jnp.asarray(coords, jnp.float64), conn,
+                                     "c3d10", E, NU, n_nodes=N,
+                                     interpret=True)
+    fixed = meshgen.boundary_nodes(coords, 2, 0.0)
+    sys_ = PackedSystem(op, fixed_nodes=fixed)
+    b = np.zeros((N, 3))
+    b[meshgen.boundary_nodes(coords, 2, 1.0), 0] = 1e3
+    u, info = sys_.solve(b, tol=1e-8, max_iter=3000)
+    assert int(info.status) == 1
+    op_ref = _ref_op(coords, conn, "c3d10")
+    from tpufem.solvers.constraints import Constraints
+    cons = Constraints.fixed(N, fixed, 3, dtype=np.float64)
+    dref = op_ref.diagonal().reshape(N, 3)
+    Minv = jnp.where(jnp.abs(dref) > 0, 1.0 / dref, 0.0)
+    u_ref, _ = cg(op_ref, jnp.asarray(b), constraints=cons, M_inv=Minv,
+                  tol=1e-8, max_iter=3000)
+    np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref), rtol=1e-5,
+                               atol=1e-8 * np.abs(np.asarray(u_ref)).max())

@@ -52,8 +52,20 @@ class BSRStructure:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class BSRMatrix:
+    """Block values stored component-planar: data9[b*i + j] is the [nnzb]
+    stream of block entry (i, j).  A [nnzb, b, b] layout would be tiled
+    (8, 128) on TPU — 4 KB physically per 36 B block (measured OOM at
+    3M blocks); the planar layout is dense and every pass moves exactly
+    the logical bytes."""
+
     structure: BSRStructure
-    data: jnp.ndarray       # [nnzb, block, block]
+    data9: jnp.ndarray      # [block*block, nnzb]
+
+    @property
+    def data(self):
+        """[nnzb, block, block] view (host/compat: scipy export, tests)."""
+        b = self.structure.meta.block
+        return jnp.transpose(self.data9, (1, 0)).reshape(-1, b, b)
 
     def __call__(self, x):
         return bsr_matvec(self, x)
@@ -61,14 +73,15 @@ class BSRMatrix:
     def diagonal(self):
         """[n_block_rows * block] main diagonal."""
         s = self.structure
-        diag_mask = s.row_ids == s.col_ids
         b = s.meta.block
-        # one diagonal block per row; gather via argmax over mask per row
-        d = jnp.where(diag_mask[:, None, None], self.data, 0.0)
-        per_row = jax.ops.segment_sum(d, s.row_ids,
-                                      num_segments=s.meta.n_block_rows,
-                                      indices_are_sorted=True)
-        return jax.vmap(jnp.diag)(per_row).reshape(-1)
+        diag_mask = (s.row_ids == s.col_ids).astype(self.data9.dtype)
+        cols = []
+        for i in range(b):
+            d = self.data9[i * b + i] * diag_mask        # [nnzb]
+            cols.append(jax.ops.segment_sum(
+                d, s.row_ids, num_segments=s.meta.n_block_rows,
+                indices_are_sorted=True))
+        return jnp.stack(cols, axis=1).reshape(-1)
 
 
 def build_bsr_structure(conn, n_nodes: int, block: int = 3) -> BSRStructure:
@@ -97,27 +110,42 @@ def build_bsr_structure(conn, n_nodes: int, block: int = 3) -> BSRStructure:
 def assemble_bsr(K_elem, conn_k: int, structure: BSRStructure) -> BSRMatrix:
     """Device-side numeric assembly of element matrices into BSR blocks.
 
-    K_elem: [M, k*b, k*b] with b = structure.meta.block.
+    K_elem: [M, k*b, k*b] with b = structure.meta.block.  Each of the b*b
+    block components is assembled as a dense 1-D stream (the [*, b, b]
+    form would materialize 4 KB-padded tiles per entry — OOM at scale).
     """
     b = structure.meta.block
     M = K_elem.shape[0]
     k = conn_k
-    blocks = (K_elem.reshape(M, k, b, k, b)
-              .transpose(0, 1, 3, 2, 4)           # [M, k(row), k(col), b, b]
-              .reshape(M * k * k, b, b))
-    stream = blocks[structure.perm]
-    data = jax.ops.segment_sum(stream, structure.segments,
-                               num_segments=structure.col_ids.shape[0],
-                               indices_are_sorted=True)
-    return BSRMatrix(structure=structure, data=data)
+    Ke = K_elem.reshape(M, k, b, k, b)
+    nnzb = structure.col_ids.shape[0]
+    planes = []
+    for i in range(b):
+        for j in range(b):
+            stream = (Ke[:, :, i, :, j]
+                      .reshape(M * k * k))[structure.perm]
+            planes.append(jax.ops.segment_sum(
+                stream, structure.segments, num_segments=nnzb,
+                indices_are_sorted=True))
+    return BSRMatrix(structure=structure, data9=jnp.stack(planes, axis=0))
 
 
 def bsr_matvec(A: BSRMatrix, x):
-    """y[N, b] = A @ x[N, b] (deterministic row-ordered reduction)."""
+    """y[N, b] = A @ x[N, b] (deterministic row-ordered reduction).
+
+    The block GEMV is b*b elementwise multiply-adds on dense [nnzb]
+    streams (one row gather of x, one row segment-sum of y)."""
     s = A.structure
     b = s.meta.block
     xg = x.reshape(-1, b)[s.col_ids]                       # [nnzb, b]
-    prod = _xeinsum("nij,nj->ni", A.data, xg)            # block GEMV
+    cols = []
+    for i in range(b):
+        acc = None
+        for j in range(b):
+            t = A.data9[i * b + j] * xg[:, j]
+            acc = t if acc is None else acc + t
+        cols.append(acc)
+    prod = jnp.stack(cols, axis=1)                         # [nnzb, b]
     y = jax.ops.segment_sum(prod, s.row_ids,
                             num_segments=s.meta.n_block_rows,
                             indices_are_sorted=True)

@@ -116,36 +116,42 @@ class PackedPlan:
         E_c = elems_per_cluster
         if order is None:
             order = morton_order(coords, conn)
-        conn_m = conn[order].astype(np.int64)
+        conn_m = conn[order].astype(np.int32)
 
         # clusters: E_c consecutive Morton elements; halve ranges whose
-        # unique-node count exceeds the 128-slot budget
-        starts = np.arange(0, M, E_c)
-        ranges = [(int(s), int(min(s + E_c, M)), E_c) for s in starts]
-        for _ in range(3):
-            rows = np.full((len(ranges), E_c * k), -1, np.int64)
-            for i, (a, b, _) in enumerate(ranges):     # bounded: ~M/E_c iters
-                rows[i, : (b - a) * k] = conn_m[a:b].reshape(-1)
-            cnt = _chunk_unique_counts(rows)
-            if (cnt <= L_SLOTS).all():
-                break
-            new_ranges = []
-            for i, (a, b, w) in enumerate(ranges):
-                if cnt[i] <= L_SLOTS and b - a <= E_c:
-                    new_ranges.append((a, b, E_c))
+        # unique-node count exceeds the 128-slot budget.  The common case
+        # (uniform E_c blocks) is fully vectorized; only over-budget blocks
+        # go through the (rare) Python split path.
+        Mpad0 = -(-M // E_c) * E_c
+        conn_u = np.full((Mpad0 // E_c, E_c, k), -1, np.int32)
+        conn_u.reshape(-1, k)[:M] = conn_m
+        cnt0 = _chunk_unique_counts(conn_u.reshape(-1, E_c * k))
+        good = cnt0 <= L_SLOTS
+        ranges = []                                    # (start, stop) pairs
+        for i in np.nonzero(good)[0]:
+            ranges.append((int(i) * E_c, min((int(i) + 1) * E_c, M)))
+        for i in np.nonzero(~good)[0]:                 # rare over-budget
+            stack = [(int(i) * E_c, min((int(i) + 1) * E_c, M))]
+            while stack:
+                a, b = stack.pop()
+                if (b - a <= 1 or np.unique(conn_m[a:b]).size <= L_SLOTS):
+                    ranges.append((a, b))
                 else:
                     mid = (a + b) // 2
-                    new_ranges.append((a, mid, E_c))
-                    new_ranges.append((mid, b, E_c))
-            ranges = new_ranges
-
+                    stack.extend([(mid, b), (a, mid)])
+        ranges.sort()                                  # keep Morton locality
         B = len(ranges)
         Bpad = -(-B // 8) * 8
-        conn_c = np.full((Bpad, E_c, k), -1, np.int64)
-        esrc = np.full((Bpad, E_c), -1, np.int64)
-        for i, (a, b, _) in enumerate(ranges):
-            conn_c[i, : b - a] = conn_m[a:b]
-            esrc[i, : b - a] = order[a:b]
+        ra = np.full(Bpad, M, np.int64)
+        rl = np.zeros(Bpad, np.int64)
+        ra[:B] = [a for a, _ in ranges]
+        rl[:B] = [b - a for a, b in ranges]
+        idx = np.minimum(ra[:, None] + np.arange(E_c), M)   # [Bpad, E_c]
+        maskj = np.arange(E_c)[None, :] < rl[:, None]
+        conn_pad = np.concatenate([conn_m, np.full((1, k), -1, np.int32)])
+        order_pad = np.concatenate([order, [-1]])
+        conn_c = np.where(maskj[:, :, None], conn_pad[idx], -1)
+        esrc = np.where(maskj, order_pad[idx], -1).astype(np.int32)
         B = Bpad
 
         # first-touch node numbering (cluster-major)
@@ -216,28 +222,33 @@ class PackedPlan:
         jslot = np.zeros((B, L_SLOTS), np.int64)
         vb, vs = np.nonzero(l2g >= 0)
         g = l2g[vb, vs]
-        w = np.argmax(win_nodes[vb] == (g // BLK)[:, None], axis=1)
+        # window index of each slot's block: win_nodes rows are sorted and
+        # row bases strictly increase, so one global searchsorted suffices
+        win_flat = (win_nodes
+                    + np.arange(B, dtype=np.int64)[:, None] * (Nb + 2)
+                    ).ravel()
+        w = (np.searchsorted(win_flat, vb * np.int64(Nb + 2) + g // BLK)
+             - vb * Wn)
         wslot[vb, vs] = w
         jslot[vb, vs] = g % BLK
 
         # cluster windows per node-block + slot index of each node
         jblk = g // BLK
-        pairs = np.stack([jblk, vb], axis=1)
-        up = np.unique(pairs, axis=0)
-        Wc = int(np.bincount(up[:, 0], minlength=Nb).max()) if up.size else 1
+        key_all = jblk * np.int64(B + 1) + vb
+        key = np.unique(key_all)
+        up_blk = (key // (B + 1)).astype(np.int64)
+        up_cl = (key % (B + 1)).astype(np.int64)
+        Wc = int(np.bincount(up_blk, minlength=Nb).max()) if key.size else 1
         Wc = max(Wc, 1)
         winc = np.full((Nb, Wc), B, np.int64)               # pad -> zero row
-        cnt = np.zeros(Nb, np.int64)
         # emission order: sorted by (block, cluster) — deterministic
-        pos = np.zeros(up.shape[0], np.int64)
-        srt_blocks, blk_starts = np.unique(up[:, 0], return_index=True)
-        pos = np.arange(up.shape[0]) - blk_starts[
-            np.searchsorted(srt_blocks, up[:, 0])]
-        winc[up[:, 0], pos] = up[:, 1]
+        srt_blocks, blk_starts = np.unique(up_blk, return_index=True)
+        pos = np.arange(key.size) - blk_starts[
+            np.searchsorted(srt_blocks, up_blk)]
+        winc[up_blk, pos] = up_cl
         # map each (slot, node) to its (block, window) cell
-        key = up[:, 0] * np.int64(B + 1) + up[:, 1]
-        w_of_pair = np.searchsorted(key, jblk * np.int64(B + 1) + vb)
-        slotidx = np.full((Nb, Wc, BLK), -1, np.int64)
+        w_of_pair = np.searchsorted(key, key_all)
+        slotidx = np.full((Nb, Wc, BLK), -1, np.int32)
         slotidx[jblk, pos[w_of_pair], g % BLK] = vs
 
         meta = _PackedMeta(n_nodes, Nb, B, E_c, k, Rp, Wn, Wc)
@@ -369,6 +380,20 @@ def pa_diag_planar(Jinv, W, dN, lam, mu):
 class _PackedFlags:
     interpret: bool = False
     exact_dot: bool = False
+    cluster_chunks: int = 1    # apply the expand/compute/compress in chunks
+    block_chunks: int = 1      # apply the combine in node-block chunks
+
+
+def _n_chunks(total: int, target_bytes: int, bytes_per: int) -> int:
+    """Smallest chunk count with chunks under budget, chunks a multiple of
+    8 (Pallas sublane tiling) — `total` is always a multiple of 8."""
+    if total * bytes_per <= target_bytes:
+        return 1
+    t8 = total // 8
+    n = min(-(-total * bytes_per // target_bytes), t8)
+    while t8 % n:            # n <= t8, and n == t8 always divides
+        n += 1
+    return int(n)
 
 
 @jax.tree_util.register_dataclass
@@ -388,10 +413,9 @@ class PackedPartialOperator:
               n_nodes: Optional[int] = None, rule: str = "default",
               plan: Optional[PackedPlan] = None, affine: Optional[bool] = None,
               dtype=None, elems_per_cluster: int = 32,
-              interpret: bool = False, exact_dot: Optional[bool] = None
-              ) -> "PackedPartialOperator":
+              interpret: bool = False, exact_dot: Optional[bool] = None,
+              chunk_budget_bytes: int = 1 << 30) -> "PackedPartialOperator":
         from ..core.materials import lame_parameters
-        from ..elements.solid import det3x3, inv3x3, jacobians
         from ..elements.tables import element_table
 
         conn = np.asarray(conn)
@@ -410,16 +434,12 @@ class PackedPartialOperator:
         esrc = np.asarray(plan.esrc)
         valid = esrc >= 0
         conn_sel = conn[np.maximum(esrc, 0)]
-        J = jacobians(jnp.asarray(coords_np, dtype), jnp.asarray(conn_sel),
-                      table, dtype)
-        detJ = det3x3(J)
-        Jinv = inv3x3(J, detJ)
-        W = jnp.asarray(table.weights, dtype)[None, :] * detJ
+        from .partial import chunked_geometry
+        Jinv, W, affine_meas = chunked_geometry(
+            jnp.asarray(coords_np, dtype), conn_sel, table, dtype)
         W = W * jnp.asarray(valid, dtype)[:, None]   # zero pad elements
         if affine is None:
-            spread = (jnp.max(jnp.abs(J - J[:, :1]))
-                      / (jnp.max(jnp.abs(J)) + 1e-30))
-            affine = bool(jax.device_get(spread) < 1e-4)
+            affine = affine_meas
         if affine:
             Jinv = Jinv[:, :1]
         qJ = Jinv.shape[1]
@@ -429,53 +449,181 @@ class PackedPartialOperator:
         Jp = jnp.transpose(Jinv.reshape(B, E_c, qJ, 9), (2, 3, 0, 1))
         Wp = jnp.transpose(W.reshape(B, E_c, q), (2, 0, 1))
         lam, mu = lame_parameters(E, nu)
+        # bound the materialized window gathers (Xw / Ycw) at large scale:
+        # process clusters / node blocks in chunks that fit the budget
+        itemsize = jnp.dtype(dtype).itemsize
+        cchunks = _n_chunks(B, chunk_budget_bytes,
+                            m.win_n * ROW * itemsize + m.lanes * 3 * itemsize)
+        bchunks = _n_chunks(m.n_blocks, chunk_budget_bytes,
+                            m.win_c * (ROW * itemsize + BLK * 4))
         return PackedPartialOperator(
             Jinv=Jp, W=Wp, dN=_StaticTable.of(table.dN), plan=plan,
             lam_mu=(float(lam), float(mu)),
-            flags=_PackedFlags(interpret, bool(exact_dot)))
+            flags=_PackedFlags(interpret, bool(exact_dot), cchunks, bchunks))
 
     # ------------------------------------------------------------------
-    def _lanes_to_planar(self, ue):
-        """[B, 3, Rp] -> [3, k, B, E_c] (kk-major lanes)."""
-        m = self.plan.meta
-        k, E_c, B = m.nodes_per_elem, m.elems_per_cluster, m.n_clusters
-        u = ue[:, :, : k * E_c].reshape(B, 3, k, E_c)
+    @staticmethod
+    def _lanes_to_planar(ue, k, E_c):
+        """[Bc, 3, Rp] -> [3, k, Bc, E_c] (kk-major lanes)."""
+        u = ue[:, :, : k * E_c].reshape(ue.shape[0], 3, k, E_c)
         return jnp.transpose(u, (1, 2, 0, 3))
 
-    def _planar_to_lanes(self, fe3):
-        """[3, k, B, E_c] -> [B, 3, Rp]."""
-        m = self.plan.meta
-        k, E_c, B, Rp = (m.nodes_per_elem, m.elems_per_cluster,
-                         m.n_clusters, m.lanes)
-        f = jnp.transpose(fe3, (2, 0, 1, 3)).reshape(B, 3, k * E_c)
+    @staticmethod
+    def _planar_to_lanes(fe3, Rp):
+        """[3, k, Bc, E_c] -> [Bc, 3, Rp]."""
+        _, k, Bc, E_c = fe3.shape
+        f = jnp.transpose(fe3, (2, 0, 1, 3)).reshape(Bc, 3, k * E_c)
         if Rp > k * E_c:
             f = jnp.pad(f, ((0, 0), (0, 0), (0, Rp - k * E_c)))
         return f
 
-    def _finish(self, fe3):
+    def _yc_chunk(self, Xp, bs, n):
+        """Slot sums for clusters [bs, bs+n): expand -> pa -> compress."""
         from . import packed_kernels as pk
         fl = self.flags
-        Fe = self._planar_to_lanes(fe3)
-        Yc = pk.compress(Fe, self.plan.lconn, interpret=fl.interpret,
-                         exact_dot=fl.exact_dot)
+        m = self.plan.meta
+        lam, mu = self.lam_mu
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, bs, n, 0)  # noqa: E731
+        lconn = sl(self.plan.lconn)
+        Xw = Xp[sl(self.plan.win_nodes)]                   # [n, Wn, 384]
+        ue = pk.expand(Xw, sl(self.plan.wslot), sl(self.plan.jslot), lconn,
+                       interpret=fl.interpret)             # [n, 3, Rp]
+        ue3 = self._lanes_to_planar(ue, m.nodes_per_elem, m.elems_per_cluster)
+        Jc = jax.lax.dynamic_slice_in_dim(self.Jinv, bs, n, 2)
+        Wc = jax.lax.dynamic_slice_in_dim(self.W, bs, n, 1)
+        fe3 = pa_apply_planar(ue3, Jc, Wc, self.dN.array, lam, mu)
+        Fe = self._planar_to_lanes(fe3, m.lanes)
+        return pk.compress(Fe, lconn, interpret=fl.interpret,
+                           exact_dot=fl.exact_dot)
+
+    def _combine(self, Yc):
+        """Slot sums [B, 384] -> node rows [Nb, 384] (chunked windows)."""
+        from . import packed_kernels as pk
+        fl = self.flags
+        m = self.plan.meta
         Ycp = jnp.concatenate([Yc, jnp.zeros((1, ROW), Yc.dtype)], axis=0)
-        Ycw = Ycp[self.plan.winc]
-        return pk.combine(Ycw, self.plan.slotidx, interpret=fl.interpret)
+        if fl.block_chunks == 1:
+            return pk.combine(Ycp[self.plan.winc], self.plan.slotidx,
+                              interpret=fl.interpret)
+        bc = m.n_blocks // fl.block_chunks
+
+        def body(i, F):
+            wc = jax.lax.dynamic_slice_in_dim(self.plan.winc, i * bc, bc, 0)
+            si = jax.lax.dynamic_slice_in_dim(self.plan.slotidx, i * bc, bc, 0)
+            Fc = pk.combine(Ycp[wc], si, interpret=fl.interpret)
+            return jax.lax.dynamic_update_slice_in_dim(F, Fc, i * bc, 0)
+
+        F0 = jnp.zeros((m.n_blocks, ROW), Yc.dtype)
+        return jax.lax.fori_loop(0, fl.block_chunks, body, F0)
 
     def __call__(self, X):
-        from . import packed_kernels as pk
         fl = self.flags
-        lam, mu = self.lam_mu
+        m = self.plan.meta
+        B = m.n_clusters
         Xp = jnp.concatenate([X, jnp.zeros((1, ROW), X.dtype)], axis=0)
-        Xw = Xp[self.plan.win_nodes]                       # [B, Wn, 384]
-        ue = pk.expand(Xw, self.plan.wslot, self.plan.jslot, self.plan.lconn,
-                       interpret=fl.interpret)             # [B, 3, Rp]
-        ue3 = self._lanes_to_planar(ue)
-        fe3 = pa_apply_planar(ue3, self.Jinv, self.W, self.dN.array, lam, mu)
-        return self._finish(fe3)
+        if fl.cluster_chunks == 1:
+            Yc = self._yc_chunk(Xp, 0, B)
+        else:
+            cc = B // fl.cluster_chunks
+
+            def body(i, Yc):
+                Ycc = self._yc_chunk(Xp, i * cc, cc)
+                return jax.lax.dynamic_update_slice_in_dim(Yc, Ycc, i * cc, 0)
+
+            Yc = jax.lax.fori_loop(0, fl.cluster_chunks, body,
+                                   jnp.zeros((B, ROW), X.dtype))
+        return self._combine(Yc)
 
     def diagonal(self):
         """Assembled diagonal as a packed field [Nb, 384]."""
+        from . import packed_kernels as pk
+        fl = self.flags
+        m = self.plan.meta
         lam, mu = self.lam_mu
-        d3 = pa_diag_planar(self.Jinv, self.W, self.dN.array, lam, mu)
-        return self._finish(d3)
+        B = m.n_clusters
+        cc = B // fl.cluster_chunks
+
+        def chunk(bs, n):
+            Jc = jax.lax.dynamic_slice_in_dim(self.Jinv, bs, n, 2)
+            Wc = jax.lax.dynamic_slice_in_dim(self.W, bs, n, 1)
+            d3 = pa_diag_planar(Jc, Wc, self.dN.array, lam, mu)
+            Fe = self._planar_to_lanes(d3, m.lanes)
+            lconn = jax.lax.dynamic_slice_in_dim(self.plan.lconn, bs, n, 0)
+            return pk.compress(Fe, lconn, interpret=fl.interpret,
+                               exact_dot=fl.exact_dot)
+
+        if fl.cluster_chunks == 1:
+            Yc = chunk(0, B)
+        else:
+            def body(i, Yc):
+                return jax.lax.dynamic_update_slice_in_dim(
+                    Yc, chunk(i * cc, cc), i * cc, 0)
+            Yc = jax.lax.fori_loop(0, fl.cluster_chunks, body,
+                                   jnp.zeros((B, ROW), self.W.dtype))
+        return self._combine(Yc)
+
+
+# ---------------------------------------------------------------------------
+# one-call packed PCG system
+# ---------------------------------------------------------------------------
+
+class PackedSystem:
+    """Packed-layout PCG convenience wrapper.
+
+    Holds the operator plus packed constraint mask / Jacobi preconditioner;
+    `solve` runs solvers.cg entirely in the [Nb, 384] layout (vectors,
+    masks, dots — every elementwise pass is dense) and unpacks the result.
+    """
+
+    def __init__(self, op: PackedPartialOperator, fixed_nodes=None,
+                 precondition: bool = True):
+        self.op = op
+        plan = op.plan
+        N = plan.meta.n_nodes
+        mask_n = np.ones((N, 3), np.dtype(jax.dtypes.canonicalize_dtype(
+            op.W.dtype)))
+        if fixed_nodes is not None:
+            mask_n[np.asarray(fixed_nodes)] = 0.0
+        self.mask = jnp.asarray(plan.pack_np(mask_n))
+        if precondition:
+            d = op.diagonal()
+            minv = jnp.where(jnp.abs(d) > 0,
+                             1.0 / jnp.where(d == 0, 1.0, d), 0.0)
+            self.M_inv = minv * self.mask
+        else:
+            self.M_inv = None
+        self._solve = {}
+
+    def constraints(self):
+        mask = self.mask
+
+        class _M:
+            def project_residual(self, r):
+                return r * mask
+
+            def apply_state(self, u):
+                return u * mask
+
+        return _M()
+
+    def solve(self, b, x0=None, tol: float = 1e-8, max_iter: int = 1000,
+              dot_dtype=None):
+        """b [N, 3] -> (u [N, 3], SolveInfo); whole PCG is one XLA program."""
+        from ..solvers.cg import cg
+
+        plan = self.op.plan
+        key = (float(tol), int(max_iter), str(dot_dtype))
+        if key not in self._solve:
+            def run(op, bX, x0X, mask, minv):
+                u, info = cg(op, bX * mask, constraints=self.constraints(),
+                             M_inv=minv, x0=x0X, tol=tol, max_iter=max_iter,
+                             dot_dtype=dot_dtype)
+                return u, info
+            self._solve[key] = jax.jit(run)
+        bX = plan.pack(jnp.asarray(b, self.mask.dtype))
+        x0X = (plan.pack(jnp.asarray(x0, self.mask.dtype))
+               if x0 is not None else jnp.zeros_like(bX))
+        uX, info = self._solve[key](self.op, bX, x0X, self.mask,
+                                    self.M_inv if self.M_inv is not None
+                                    else jnp.ones_like(bX))
+        return plan.unpack(uX), info

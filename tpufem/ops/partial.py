@@ -186,3 +186,43 @@ class PartialAssemblyOperator:
         norm2 = jnp.sum(g2, axis=-1, keepdims=True)               # [M,k,1]
         d = (lam + mu) * g2 + mu * norm2                          # [M,k,3]
         return self.plan.scatter(d.reshape(d.shape[0], -1))
+
+
+def chunked_geometry(coords, conn_sel, table, dtype, chunk: int = 1 << 21):
+    """(Jinv [M, q, 3, 3], W [M, q], affine) computed in element chunks.
+
+    The jacobians einsum at HIGHEST precision materializes lane-padded
+    [3, M, k] intermediates (~2 KB/element at c3d10) — at 10M elements
+    that alone exceeds HBM, so the geometry build streams element chunks
+    through the device (build-time only; the result is 40-160 B/element).
+    """
+    import jax as _jax
+
+    M = conn_sel.shape[0]
+    if M <= chunk:
+        J = jacobians(coords, jnp.asarray(conn_sel), table, dtype)
+        detJ = det3x3(J)
+        spread = (jnp.max(jnp.abs(J - J[:, :1]))
+                  / (jnp.max(jnp.abs(J)) + 1e-30))
+        return (inv3x3(J, detJ),
+                jnp.asarray(table.weights, dtype)[None, :] * detJ,
+                bool(_jax.device_get(spread) < 1e-4))
+
+    @_jax.jit
+    def one(coords_in, conn_chunk):
+        J = jacobians(coords_in, conn_chunk, table, dtype)
+        detJ = det3x3(J)
+        spread = jnp.max(jnp.abs(J - J[:, :1])) / (jnp.max(jnp.abs(J)) + 1e-30)
+        return (inv3x3(J, detJ),
+                jnp.asarray(table.weights, dtype)[None, :] * detJ, spread)
+
+    parts_J, parts_W, spreads = [], [], []
+    for a in range(0, M, chunk):
+        b = min(a + chunk, M)
+        Ji, Wi, sp = one(coords, jnp.asarray(conn_sel[a:b]))
+        parts_J.append(Ji)
+        parts_W.append(Wi)
+        spreads.append(float(_jax.device_get(sp)))
+    return (jnp.concatenate(parts_J, axis=0),
+            jnp.concatenate(parts_W, axis=0),
+            bool(max(spreads) < 1e-4))

@@ -56,6 +56,7 @@ class HybridSystem:
     g_nodes: jnp.ndarray     # [nGlob] global node ids of interface nodes
     scat_perm: jnp.ndarray   # scatter plan for P*nG*3 -> interface dofs
     scat_seg: jnp.ndarray
+    Minv_G: jnp.ndarray      # [nGlob, 3] Jacobi on assembled K_GG diagonal
     meta: _HMeta
 
     # -- core ops --------------------------------------------------------
@@ -93,13 +94,17 @@ class HybridSystem:
         g = fG - self._scatter_iface(
             _xeinsum("pig,pi->pg", self.K_IG, y))
 
-        # CG on the interface
+        # PCG on the interface (Jacobi on the assembled K_GG diagonal — a
+        # standard cheap Schur preconditioner; tol stays on the TRUE ||r||)
         def A(v):
             return self.schur_matvec(v)
 
+        Mi = self.Minv_G
         u0 = jnp.zeros_like(g)
         r0 = g
-        p0 = r0
+        z0 = r0 * Mi
+        p0 = z0
+        rz0 = jnp.vdot(r0, z0)
         rs0 = jnp.vdot(r0, r0)
         hist0 = jnp.full((max_iter + 1,), jnp.inf, g.dtype)
         hist0 = hist0.at[0].set(jnp.sqrt(rs0))
@@ -109,20 +114,21 @@ class HybridSystem:
             return (s[0] < max_iter) & (s[5] == RUNNING)
 
         def body(s):
-            i, u, r, p, rs, st, hist = s
+            i, u, r, p, rz, st, hist = s
             Ap = A(p)
-            alpha = rs / (jnp.vdot(p, Ap) + eps)
+            alpha = rz / (jnp.vdot(p, Ap) + eps)
             u1 = u + alpha * p
             r1 = r - alpha * Ap
-            rs1 = jnp.vdot(r1, r1)
-            rn = jnp.sqrt(rs1)
-            p1 = r1 + (rs1 / (rs + eps)) * p
+            z1 = r1 * Mi
+            rz1 = jnp.vdot(r1, z1)
+            rn = jnp.sqrt(jnp.vdot(r1, r1))
+            p1 = z1 + (rz1 / (rz + eps)) * p
             st1 = jnp.where(rn < tol, CONVERGED, RUNNING).astype(jnp.int32)
             hist = hist.at[i + 1].set(rn)
-            return (i + 1, u1, r1, p1, rs1, st1, hist)
+            return (i + 1, u1, r1, p1, rz1, st1, hist)
 
-        i, uG, r, p, rs, st, hist = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), u0, r0, p0, rs0, st0, hist0))
+        i, uG, r, p, rz, st, hist = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), u0, r0, p0, rz0, st0, hist0))
         st = jnp.where(st == RUNNING, MAX_ITER, st)
 
         # interior back-substitution
@@ -199,6 +205,7 @@ def build_hybrid(coords, conn, etype: str, E: float, nu: float,
     imap = np.zeros((P_, nI_max), np.int64)
     imask = np.zeros((P_, nI_max), fdtype)
 
+    import scipy.sparse as _sp
     for p in range(P_):
         sel = np.nonzero(labels == p)[0]
         ints, gifs = part_interiors[p], part_ifaces[p]
@@ -206,14 +213,18 @@ def build_hybrid(coords, conn, etype: str, E: float, nu: float,
         l_index = -np.ones(N, np.int64)
         l_index[local] = np.arange(local.size)
         lconn = l_index[conn_np[sel]]
-        # host-side dense assembly (device round-trips per part are slow on
-        # tunneled backends; subdomain blocks are small by construction)
-        Kp = np.zeros((local.size * 3, local.size * 3), dtype=fdtype)
-        ldofs = (lconn[:, :, None] * 3 + np.arange(3)).reshape(sel.size, -1)
-        for m in range(sel.size):
-            Kp[np.ix_(ldofs[m], ldofs[m])] += K_np[sel[m]]
+        # host-side sparse assembly (vectorized COO; the former per-element
+        # Python loop was O(M) interpreter time — config-4 scale blocker),
+        # densified only for the blocks the factorization needs
         nI, nG = ints.size, gifs.size
-        A_II = Kp[:3 * nI, :3 * nI]
+        n3 = local.size * 3
+        ldofs = (lconn[:, :, None] * 3 + np.arange(3)).reshape(sel.size, -1)
+        dd = ldofs.shape[1]
+        rows = np.repeat(ldofs, dd, axis=1).ravel()
+        cols = np.tile(ldofs, (1, dd)).ravel()
+        Ksp = _sp.coo_matrix((K_np[sel].ravel(), (rows, cols)),
+                             shape=(n3, n3)).tocsr()
+        A_II = Ksp[: 3 * nI, : 3 * nI].toarray()
         # fixed interior-free dofs already zeroed; give padding + any zero
         # diagonal a 1 so Cholesky succeeds
         d = np.diag(A_II).copy()
@@ -221,8 +232,8 @@ def build_hybrid(coords, conn, etype: str, E: float, nu: float,
         A_pad = np.eye(3 * nI_max, dtype=fdtype)
         A_pad[:3 * nI, :3 * nI] = A_II + np.diag(zero_d.astype(fdtype))
         chol[p] = np.linalg.cholesky(A_pad)
-        K_IG[p, :3 * nI, :3 * nG] = Kp[:3 * nI, 3 * nI:]
-        K_GG[p, :3 * nG, :3 * nG] = Kp[3 * nI:, 3 * nI:]
+        K_IG[p, :3 * nI, :3 * nG] = Ksp[: 3 * nI, 3 * nI:].toarray()
+        K_GG[p, :3 * nG, :3 * nG] = Ksp[3 * nI:, 3 * nI:].toarray()
         gmap[p, :nG] = g_nodes.searchsorted(gifs)
         gmask[p, :nG] = 1.0
         imap[p, :nI] = ints
@@ -247,13 +258,24 @@ def build_hybrid(coords, conn, etype: str, E: float, nu: float,
     perm = np.argsort(targets, kind="stable").astype(np.int32)
     seg = targets[perm].astype(np.int32)
 
+    # interface Jacobi preconditioner: assembled K_GG diagonal
+    diag_G = np.zeros((g_nodes.size, 3), fdtype)
+    dflat = np.einsum("pii->pi", K_GG.reshape(
+        P_, 3 * nG_max, 3 * nG_max))                       # [P, 3nG]
+    np.add.at(diag_G.reshape(-1),
+              (gmap[:, :, None] * 3 + np.arange(3)).reshape(-1),
+              (dflat.reshape(P_, nG_max, 3) * gmask[:, :, None]).reshape(-1))
+    Minv_G = np.where(np.abs(diag_G) > 0,
+                      1.0 / np.where(diag_G == 0, 1.0, diag_G), 0.0)
+
     meta = _HMeta(P_, N, g_nodes.size, nI_max, nG_max)
     return HybridSystem(
         chol=jnp.asarray(chol), K_IG=jnp.asarray(K_IG), K_GG=jnp.asarray(K_GG),
         gmap=jnp.asarray(gmap), gmask=jnp.asarray(gmask),
         imap=jnp.asarray(imap), imask=jnp.asarray(imask),
         g_nodes=jnp.asarray(g_nodes),
-        scat_perm=jnp.asarray(perm), scat_seg=jnp.asarray(seg), meta=meta)
+        scat_perm=jnp.asarray(perm), scat_seg=jnp.asarray(seg),
+        Minv_G=jnp.asarray(Minv_G), meta=meta)
 
 
 def hybrid_solve(coords, conn, etype, E, nu, f, n_parts, fixed_nodes=None,
