@@ -39,7 +39,7 @@ def main():
     print(f"mesh: M={M} c3d4, N={N}, parts={n_parts}", flush=True)
 
     t0 = time.time()
-    labels, _ = partition_elements(conn, "c3d4", n_parts, 0)
+    labels, _ = partition_elements(conn, "c3d4", n_parts, 0, balanced=True)
     t_part = time.time() - t0
     sizes = np.bincount(labels, minlength=n_parts)
     print(f"partition: {t_part:.1f}s  part sizes min/max={sizes.min()}/"
@@ -58,12 +58,12 @@ def main():
     b[meshgen.boundary_nodes(coords, 2, 1.0), 0] = 1e3
     bj = jnp.asarray(b).at[jnp.asarray(fixed)].set(0.0)
     t0 = time.time()
-    solve = jax.jit(lambda f: sys_.solve(f, tol=1e-4, max_iter=800))
-    u, info = solve(bj)
+    solve = jax.jit(lambda sy, f: sy.solve(f, tol=1e-4, max_iter=800))
+    u, info = solve(sys_, bj)
     rn = float(info.residual_norm)
     t_solve1 = time.time() - t0
     t0 = time.time()
-    u, info = solve(bj)
+    u, info = solve(sys_, bj)
     float(info.residual_norm)
     t_solve = time.time() - t0
     print(f"solve: compile+run {t_solve1:.1f}s, warm {t_solve:.2f}s, "

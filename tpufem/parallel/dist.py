@@ -309,12 +309,17 @@ def build_distributed_fem(coords, conn, etype: str, E: float, nu: float,
 
     mesh = mesh or make_mesh_1d(n_parts, axis)
     n_parts = mesh.devices.size
-    coords_j = jnp.asarray(coords) if dtype is None else jnp.asarray(coords, dtype)
     conn_np = np.asarray(conn)
-    N = np.asarray(coords).shape[0]
+    coords_np = np.asarray(jax.device_get(coords))
+    N = coords_np.shape[0]
     if labels is None:
         labels, _ = partition_elements(conn_np, etype, n_parts, seed)
-    K = stiffness(coords_j, jnp.asarray(conn_np), etype, E, nu)
+    # stiffness on the CPU backend (see build_halo_fem: tunnel readback of
+    # TPU-tiled element stiffness is minutes-slow)
+    with jax.default_device(jax.devices("cpu")[0]):
+        coords_j = (jnp.asarray(coords_np) if dtype is None
+                    else jnp.asarray(coords_np, dtype))
+        K = stiffness(coords_j, jnp.asarray(conn_np), etype, E, nu)
     part = DistPartition.build(K, conn_np, N, labels, n_parts, 3)
     fem = DistFEM(mesh, axis, part)
     if fixed_nodes is not None:

@@ -71,51 +71,75 @@ def pick_distant_seeds(adj: sp.csr_matrix, n_parts: int,
 
 
 def region_growing_partition(edge: np.ndarray, n_parts: int, n_elements: int,
-                             seed: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+                             seed: int = 0, balanced: bool = False
+                             ) -> Tuple[np.ndarray, np.ndarray]:
     """Multi-source BFS labels [M] + the seeds (subdivision.ipynb cell 9).
 
     Ties (element reachable from several fronts in the same sweep) resolve
     to the lowest part id — fixed, reproducible ordering.
+
+    balanced=True caps each part near ceil(M / n_parts) during the growth
+    (capped parts stop claiming; the cap relaxes 10% at a time if growth
+    stalls) — bounds the nI_max/Mp padding that unconstrained region
+    growing leaves (measured 742/7208 min/max part sizes at 32 parts).
     """
     from .. import native
 
     adj = build_adjacency(edge, n_elements)
     seeds = pick_distant_seeds(adj, n_parts, seed)
-    nat = native.region_grow(adj.indptr.astype(np.int64),
-                             adj.indices.astype(np.int32),
-                             np.asarray(seeds, np.int32), n_parts)
-    if nat is not None:
-        return nat, seeds
+    if not balanced:
+        nat = native.region_grow(adj.indptr.astype(np.int64),
+                                 adj.indices.astype(np.int32),
+                                 np.asarray(seeds, np.int32), n_parts)
+        if nat is not None:
+            return nat, seeds
+    cap = (-(-n_elements // n_parts) + 1) if balanced else n_elements + 1
     labels = np.full(n_elements, -1, dtype=np.int64)
     labels[seeds] = np.arange(n_parts)
     frontier = np.zeros((n_parts, n_elements), dtype=bool)
     frontier[np.arange(n_parts), seeds] = True
     while (labels == -1).any():
+        sizes = np.bincount(labels[labels >= 0], minlength=n_parts)
+        active = sizes < cap
         expanded = np.zeros_like(frontier)
         for p in range(n_parts):
-            expanded[p] = (adj @ frontier[p]) & (labels == -1)
+            if active[p]:
+                expanded[p] = (adj @ frontier[p]) & (labels == -1)
         if not expanded.any():
+            if balanced and (~active).any():
+                cap = cap + max(1, cap // 10)     # relax and keep growing
+                frontier = np.zeros_like(frontier)
+                for p in range(n_parts):
+                    frontier[p] = labels == p
+                continue
             # disconnected leftovers: assign to the smallest part
             left = np.nonzero(labels == -1)[0]
-            sizes = np.bincount(labels[labels >= 0], minlength=n_parts)
             labels[left] = int(np.argmin(sizes))
             break
-        # lowest part id wins contested elements
+        # lowest part id wins contested elements; respect the cap by
+        # claiming at most the remaining budget (stable lowest-index order)
         winner = np.argmax(expanded, axis=0)
         claimed = expanded.any(axis=0)
-        labels[claimed] = winner[claimed]
+        if balanced:
+            for p in range(n_parts):
+                mine = np.nonzero(claimed & (winner == p))[0]
+                room = cap - sizes[p]
+                if mine.size > room:
+                    drop = mine[room:]
+                    claimed[drop] = False
+        labels[np.nonzero(claimed)[0]] = winner[claimed]
         frontier = expanded & (labels[None, :] == np.arange(n_parts)[:, None])
     return labels, seeds
 
 
-def partition_elements(conn, etype: str, n_parts: int,
-                       seed: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+def partition_elements(conn, etype: str, n_parts: int, seed: int = 0,
+                       balanced: bool = False) -> Tuple[np.ndarray, np.ndarray]:
     """Labels [M] for any solid mesh via its shared-face dual graph."""
     from ..topology.faces import element_dual_graph
 
     edge = element_dual_graph(np.asarray(conn), etype)
     return region_growing_partition(edge, n_parts, np.asarray(conn).shape[0],
-                                    seed)
+                                    seed, balanced=balanced)
 
 
 def owner_of_nodes(conn, labels, n_nodes: int) -> np.ndarray:

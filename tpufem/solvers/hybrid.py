@@ -152,10 +152,16 @@ def build_hybrid(coords, conn, etype: str, E: float, nu: float,
     from ..parallel.partition import partition_elements
 
     conn_np = np.asarray(conn)
-    N = np.asarray(coords).shape[0]
-    coords_j = jnp.asarray(coords) if dtype is None else jnp.asarray(coords, dtype)
-    K = stiffness(coords_j, jnp.asarray(conn_np), etype, E, nu)
-    K_np = np.asarray(K)
+    coords_np = np.asarray(jax.device_get(coords))
+    N = coords_np.shape[0]
+    # element stiffness on the CPU backend: the build consumes it in numpy,
+    # and pulling the TPU-tiled [M, 12, 12] buffer back through the tunnel
+    # costs minutes (measured 285 s for 105k elements)
+    with jax.default_device(jax.devices("cpu")[0]):
+        coords_j = (jnp.asarray(coords_np) if dtype is None
+                    else jnp.asarray(coords_np, dtype))
+        K_np = np.asarray(stiffness(coords_j, jnp.asarray(conn_np),
+                                    etype, E, nu))
     fdtype = K_np.dtype
 
     # symmetric elimination of fixed dofs (homogeneous): zero rows/cols
@@ -286,4 +292,7 @@ def hybrid_solve(coords, conn, etype, E, nu, f, n_parts, fixed_nodes=None,
     f = jnp.asarray(f, sys_.chol.dtype)
     if fixed_nodes is not None:
         f = f.at[jnp.asarray(np.asarray(fixed_nodes))].set(0.0)
-    return jax.jit(lambda ff: sys_.solve(ff, tol=tol, max_iter=max_iter))(f)
+    # the system is a jit ARGUMENT — closing over it bakes the dense
+    # factors into the HLO as constants (overflows remote-compile requests)
+    return jax.jit(lambda sy, ff: sy.solve(ff, tol=tol, max_iter=max_iter))(
+        sys_, f)
