@@ -105,10 +105,12 @@ def main():
     # (geometry stream + window-gathered X rows + Yc twice + F out)
     m = op.plan.meta
     qJ, q = op.Jinv.shape[0], op.W.shape[0]
+    cw = sum(nn * wk for (_, nn, wk) in m.c_groups)  # bucketed window rows
+    bw = sum(nn * wk for (_, nn, wk) in m.b_groups)
     bytes_min = (m.n_clusters * m.elems_per_cluster * (qJ * 9 + q) * 4
-                 + m.n_clusters * (m.win_n + 2) * 1536
-                 + m.n_blocks * (m.win_c + 1) * 1536
-                 + m.n_blocks * m.win_c * 512)     # slotidx int32 stream
+                 + (cw + 2 * m.n_clusters) * 1536
+                 + (bw + m.n_blocks) * 1536
+                 + bw * 512)                       # slotidx int32 stream
     roofline_fraction = (bytes_min / t_spmv) / 897e9
 
     # --- packed PCG iterations/s ----------------------------------------

@@ -73,12 +73,24 @@ def test_packed_cluster_invariants():
     esrc = np.asarray(plan.esrc)
     real = esrc[esrc >= 0]
     assert np.array_equal(np.sort(real), np.arange(conn.shape[0]))
-    # node permutation is a bijection
+    # node mapping is injective into the padded id space and inverts
+    # through old_from_new (block bucketing may interleave pad lanes)
     nfo = np.asarray(plan.new_from_old)
-    assert np.array_equal(np.sort(nfo), np.arange(N))
+    assert np.unique(nfo).size == N
+    assert nfo.min() >= 0 and nfo.max() < m.n_blocks * 128
+    assert np.array_equal(np.asarray(plan.old_from_new)[nfo], np.arange(N))
     # windows: no real block index out of range
     assert np.asarray(plan.win_nodes).max() <= m.n_blocks
     assert np.asarray(plan.winc).max() <= m.n_clusters
+    # bucket groups tile the cluster / block ranges with valid widths
+    for groups, total, wmax in [(m.c_groups, m.n_clusters, m.win_n),
+                                (m.b_groups, m.n_blocks, m.win_c)]:
+        assert groups[0][0] == 0
+        assert sum(g[1] for g in groups) == total
+        widths = [g[2] for g in groups]
+        assert widths == sorted(widths) and widths[-1] == wmax
+        for (s, n, _), (s2, _, _) in zip(groups, groups[1:]):
+            assert s + n == s2
 
 
 def test_packed_cg_solve():
@@ -123,27 +135,34 @@ def test_packed_cg_solve():
 
 
 def test_packed_chunked_matches_unchunked():
-    """Chunked apply (scale path) matches unchunked to fp roundoff."""
+    """Chunked + single-bucket apply (scale path) matches the default
+    bucketed/unchunked apply to fp roundoff."""
     coords, conn = meshgen.box_tet10(6, 6, 6)
     N = coords.shape[0]
     op1 = PackedPartialOperator.build(jnp.asarray(coords), conn, "c3d10",
                                       E, NU, n_nodes=N, interpret=True)
     op2 = PackedPartialOperator.build(jnp.asarray(coords), conn, "c3d10",
                                       E, NU, n_nodes=N, interpret=True,
-                                      chunk_budget_bytes=40_000)
-    assert op2.flags.cluster_chunks > 1 and op2.flags.block_chunks > 1
+                                      chunk_budget_bytes=40_000,
+                                      window_buckets=1)
+    assert max(op2.flags.cluster_chunks) > 1 and max(op2.flags.block_chunks) > 1
     u = np.random.default_rng(3).standard_normal((N, 3))
-    X = op1.plan.pack(jnp.asarray(u))
-    F1 = np.asarray(op1(X))
-    F2 = np.asarray(op2(X))
+    uj = jnp.asarray(u)
+    # the two plans have different node numberings (bucket permutations),
+    # so compare in the unpacked [N, 3] space
+    X2 = op2.plan.pack(uj)
+    F1 = np.asarray(op1.plan.unpack(op1(op1.plan.pack(uj))))
+    F2p = np.asarray(op2(X2))
+    F2 = np.asarray(op2.plan.unpack(jnp.asarray(F2p)))
     # chunked and unchunked are different XLA programs (fori_loop vs flat),
     # so FMA/fusion reassociation may differ by ~1 ulp; each program is
     # itself bitwise deterministic across runs (checked below)
     np.testing.assert_allclose(F2, F1, rtol=1e-12,
                                atol=1e-13 * np.abs(F1).max())
-    np.testing.assert_allclose(np.asarray(op2.diagonal()),
-                               np.asarray(op1.diagonal()), rtol=1e-12)
-    np.testing.assert_array_equal(F2, np.asarray(op2(X)))
+    np.testing.assert_allclose(np.asarray(op2.plan.unpack(op2.diagonal())),
+                               np.asarray(op1.plan.unpack(op1.diagonal())),
+                               rtol=1e-12)
+    np.testing.assert_array_equal(F2p, np.asarray(op2(X2)))
 
 
 def test_packed_system_solve():

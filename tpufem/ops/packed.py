@@ -73,6 +73,59 @@ def _chunk_unique_counts(conn_rows: np.ndarray) -> np.ndarray:
     return first.sum(axis=1)
 
 
+def _bucket_groups(counts: np.ndarray, max_groups: int = 4,
+                   align: int = 8) -> Tuple[Tuple[int, int, int], ...]:
+    """Optimal contiguous grouping of ASCENDING-sorted window counts.
+
+    Returns ((start, size, width), ...) covering [0, len(counts)), where
+    width = max count within the group.  Chosen to minimize
+    sum(size * width) over <= max_groups contiguous groups (DP over the
+    distinct-count run boundaries — the padded-window work model of both
+    the gather traffic and the kernel window loops).  Interior boundaries
+    are aligned DOWN to `align` rows (f32 sublane tile), which is safe:
+    a row pushed across an aligned-down boundary lands in the
+    wider-window group that follows it.
+    """
+    n = int(counts.size)
+    if n == 0:
+        return ()
+    ends = np.nonzero(np.diff(counts))[0] + 1
+    ends = np.concatenate([ends, [n]]).astype(np.int64)  # end of each run
+    vals = counts[ends - 1].astype(np.int64)
+    V = ends.size
+    G = min(max_groups, V)
+    INF = float("inf")
+    dp = np.full((G + 1, V + 1), INF)
+    dp[0, 0] = 0.0
+    choice = np.zeros((G + 1, V + 1), np.int64)
+    for g in range(1, G + 1):
+        for v in range(1, V + 1):
+            for p in range(v):           # last group covers runs (p, v]
+                if dp[g - 1, p] == INF:
+                    continue
+                start = 0 if p == 0 else int(ends[p - 1])
+                c = dp[g - 1, p] + (int(ends[v - 1]) - start) * int(vals[v - 1])
+                if c < dp[g, v]:
+                    dp[g, v] = c
+                    choice[g, v] = p
+    g_best = int(np.argmin(dp[1:, V])) + 1
+    bounds = []
+    v = V
+    for g in range(g_best, 0, -1):
+        bounds.append(v)
+        v = int(choice[g, v])
+    bounds = bounds[::-1]
+    groups = []
+    prev = 0
+    for i, v in enumerate(bounds):
+        end = n if i == len(bounds) - 1 else (int(ends[v - 1]) // align) * align
+        if end <= prev:
+            continue
+        groups.append((prev, end - prev, int(counts[end - 1])))
+        prev = end
+    return tuple(groups)
+
+
 # ---------------------------------------------------------------------------
 # plan
 # ---------------------------------------------------------------------------
@@ -86,8 +139,13 @@ class _PackedMeta:
     elems_per_cluster: int
     nodes_per_elem: int
     lanes: int             # Rp = ceil(k*E_c/128)*128
-    win_n: int             # Wn
-    win_c: int             # Wc
+    win_n: int             # Wn (global max; buckets use their own widths)
+    win_c: int             # Wc (global max)
+    # window buckets: clusters / node blocks are stored sorted by their
+    # window count; each (start, size, width) group pays only its own
+    # width in gather traffic and kernel loop trips (MAX-padding fix)
+    c_groups: Tuple[Tuple[int, int, int], ...] = ()
+    b_groups: Tuple[Tuple[int, int, int], ...] = ()
 
 
 @jax.tree_util.register_dataclass
@@ -109,7 +167,8 @@ class PackedPlan:
     # -- construction ------------------------------------------------------
     @staticmethod
     def build(coords, conn, n_nodes: int, elems_per_cluster: int = 32,
-              order: Optional[np.ndarray] = None) -> "PackedPlan":
+              order: Optional[np.ndarray] = None,
+              window_buckets: int = 4) -> "PackedPlan":
         conn = np.asarray(conn)
         coords = np.asarray(coords)
         M, k = conn.shape
@@ -251,7 +310,39 @@ class PackedPlan:
         slotidx = np.full((Nb, Wc, BLK), -1, np.int32)
         slotidx[jblk, pos[w_of_pair], g % BLK] = vs
 
-        meta = _PackedMeta(n_nodes, Nb, B, E_c, k, Rp, Wn, Wc)
+        # --- window bucketing (MAX-padding fix) --------------------------
+        # Sort clusters by their node-window count and node blocks by their
+        # cluster-window count (stable: Morton / first-touch order kept
+        # within equal counts).  The block permutation is absorbed into the
+        # node numbering so every packed vector lives in bucket order; the
+        # cluster permutation is absorbed into the plan tables and winc.
+        wn_cnt = bfirst.sum(axis=1).astype(np.int64)          # [B]
+        wc_cnt = np.bincount(up_blk, minlength=Nb).astype(np.int64)
+        cperm = np.argsort(wn_cnt, kind="stable")
+        bperm = np.argsort(wc_cnt, kind="stable")
+        c_groups = _bucket_groups(wn_cnt[cperm], window_buckets)
+        b_groups = _bucket_groups(wc_cnt[bperm], window_buckets)
+        cpos = np.empty(B, np.int64)
+        cpos[cperm] = np.arange(B)
+        bpos = np.empty(Nb, np.int64)
+        bpos[bperm] = np.arange(Nb)
+        # block permutation: block-granular node renumbering (lane kept)
+        new_from_old = bpos[new_from_old // BLK] * BLK + new_from_old % BLK
+        old_from_new = old_from_new.reshape(Nb, BLK)[bperm].reshape(-1)
+        win_nodes = np.where(win_nodes < Nb,
+                             bpos[np.minimum(win_nodes, Nb - 1)], Nb)
+        winc = winc[bperm]
+        slotidx = slotidx[bperm]
+        # cluster permutation: rows of cluster tables; values of winc
+        win_nodes = win_nodes[cperm]
+        wslot = wslot[cperm]
+        jslot = jslot[cperm]
+        lconn = lconn[cperm]
+        esrc = esrc[cperm]
+        winc = np.where(winc < B, cpos[np.minimum(winc, B - 1)], B)
+
+        meta = _PackedMeta(n_nodes, Nb, B, E_c, k, Rp, Wn, Wc,
+                           c_groups, b_groups)
         i32 = lambda a: jnp.asarray(a.astype(np.int32))  # noqa: E731
         return PackedPlan(
             win_nodes=i32(win_nodes), wslot=i32(wslot), jslot=i32(jslot),
@@ -380,8 +471,11 @@ def pa_diag_planar(Jinv, W, dN, lam, mu):
 class _PackedFlags:
     interpret: bool = False
     exact_dot: bool = False
-    cluster_chunks: int = 1    # apply the expand/compute/compress in chunks
-    block_chunks: int = 1      # apply the combine in node-block chunks
+    # per-bucket chunk counts (aligned with meta.c_groups / meta.b_groups):
+    # each bucket's expand/compute/compress (resp. combine) runs in this
+    # many fori_loop chunks so window gathers stay under the byte budget
+    cluster_chunks: Tuple[int, ...] = ()
+    block_chunks: Tuple[int, ...] = ()
 
 
 def _n_chunks(total: int, target_bytes: int, bytes_per: int) -> int:
@@ -414,7 +508,8 @@ class PackedPartialOperator:
               plan: Optional[PackedPlan] = None, affine: Optional[bool] = None,
               dtype=None, elems_per_cluster: int = 32,
               interpret: bool = False, exact_dot: Optional[bool] = None,
-              chunk_budget_bytes: int = 1 << 30) -> "PackedPartialOperator":
+              chunk_budget_bytes: int = 1 << 30,
+              window_buckets: int = 4) -> "PackedPartialOperator":
         from ..core.materials import lame_parameters
         from ..elements.tables import element_table
 
@@ -424,7 +519,8 @@ class PackedPartialOperator:
             raise ValueError("pass n_nodes or a prebuilt plan")
         if plan is None:
             plan = PackedPlan.build(coords_np, conn, int(n_nodes),
-                                    elems_per_cluster)
+                                    elems_per_cluster,
+                                    window_buckets=window_buckets)
         m = plan.meta
         table = element_table(etype, rule)
         dtype = dtype or jnp.asarray(coords).dtype
@@ -450,12 +546,17 @@ class PackedPartialOperator:
         Wp = jnp.transpose(W.reshape(B, E_c, q), (2, 0, 1))
         lam, mu = lame_parameters(E, nu)
         # bound the materialized window gathers (Xw / Ycw) at large scale:
-        # process clusters / node blocks in chunks that fit the budget
+        # process each bucket's clusters / node blocks in chunks that fit
+        # the budget (bucket width sets the per-row gather bytes)
         itemsize = jnp.dtype(dtype).itemsize
-        cchunks = _n_chunks(B, chunk_budget_bytes,
-                            m.win_n * ROW * itemsize + m.lanes * 3 * itemsize)
-        bchunks = _n_chunks(m.n_blocks, chunk_budget_bytes,
-                            m.win_c * (ROW * itemsize + BLK * 4))
+        cchunks = tuple(
+            _n_chunks(n, chunk_budget_bytes,
+                      max(wk, 1) * ROW * itemsize + m.lanes * 3 * itemsize)
+            for (_, n, wk) in m.c_groups)
+        bchunks = tuple(
+            _n_chunks(n, chunk_budget_bytes,
+                      max(wk, 1) * (ROW * itemsize + BLK * 4))
+            for (_, n, wk) in m.b_groups)
         return PackedPartialOperator(
             Jinv=Jp, W=Wp, dN=_StaticTable.of(table.dN), plan=plan,
             lam_mu=(float(lam), float(mu)),
@@ -477,15 +578,15 @@ class PackedPartialOperator:
             f = jnp.pad(f, ((0, 0), (0, 0), (0, Rp - k * E_c)))
         return f
 
-    def _yc_chunk(self, Xp, bs, n):
-        """Slot sums for clusters [bs, bs+n): expand -> pa -> compress."""
+    def _yc_chunk(self, Xp, bs, n, wk):
+        """Slot sums for clusters [bs, bs+n) with window width wk."""
         from . import packed_kernels as pk
         fl = self.flags
         m = self.plan.meta
         lam, mu = self.lam_mu
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, bs, n, 0)  # noqa: E731
         lconn = sl(self.plan.lconn)
-        Xw = Xp[sl(self.plan.win_nodes)]                   # [n, Wn, 384]
+        Xw = Xp[sl(self.plan.win_nodes)[:, :wk]]           # [n, wk, 384]
         ue = pk.expand(Xw, sl(self.plan.wslot), sl(self.plan.jslot), lconn,
                        interpret=fl.interpret)             # [n, 3, Rp]
         ue3 = self._lanes_to_planar(ue, m.nodes_per_elem, m.elems_per_cluster)
@@ -497,41 +598,55 @@ class PackedPartialOperator:
                            exact_dot=fl.exact_dot)
 
     def _combine(self, Yc):
-        """Slot sums [B, 384] -> node rows [Nb, 384] (chunked windows)."""
+        """Slot sums [B, 384] -> node rows [Nb, 384] (bucketed windows)."""
         from . import packed_kernels as pk
         fl = self.flags
         m = self.plan.meta
         Ycp = jnp.concatenate([Yc, jnp.zeros((1, ROW), Yc.dtype)], axis=0)
-        if fl.block_chunks == 1:
-            return pk.combine(Ycp[self.plan.winc], self.plan.slotidx,
-                              interpret=fl.interpret)
-        bc = m.n_blocks // fl.block_chunks
+        F = jnp.zeros((m.n_blocks, ROW), Yc.dtype)
 
-        def body(i, F):
-            wc = jax.lax.dynamic_slice_in_dim(self.plan.winc, i * bc, bc, 0)
-            si = jax.lax.dynamic_slice_in_dim(self.plan.slotidx, i * bc, bc, 0)
-            Fc = pk.combine(Ycp[wc], si, interpret=fl.interpret)
-            return jax.lax.dynamic_update_slice_in_dim(F, Fc, i * bc, 0)
+        def chunk(bs, n, wk):
+            wc = jax.lax.dynamic_slice_in_dim(self.plan.winc, bs, n, 0)[:, :wk]
+            si = jax.lax.dynamic_slice_in_dim(
+                self.plan.slotidx, bs, n, 0)[:, :wk]
+            return pk.combine(Ycp[wc], si, interpret=fl.interpret)
 
-        F0 = jnp.zeros((m.n_blocks, ROW), Yc.dtype)
-        return jax.lax.fori_loop(0, fl.block_chunks, body, F0)
+        for (s, n, wk), nch in zip(m.b_groups, fl.block_chunks):
+            if wk == 0 or n == 0:      # blocks no cluster writes -> zero rows
+                continue
+            if nch == 1:
+                F = jax.lax.dynamic_update_slice_in_dim(F, chunk(s, n, wk),
+                                                        s, 0)
+            else:
+                bc = n // nch
+
+                def body(i, F, s=s, bc=bc, wk=wk):
+                    return jax.lax.dynamic_update_slice_in_dim(
+                        F, chunk(s + i * bc, bc, wk), s + i * bc, 0)
+
+                F = jax.lax.fori_loop(0, nch, body, F)
+        return F
 
     def __call__(self, X):
         fl = self.flags
         m = self.plan.meta
-        B = m.n_clusters
         Xp = jnp.concatenate([X, jnp.zeros((1, ROW), X.dtype)], axis=0)
-        if fl.cluster_chunks == 1:
-            Yc = self._yc_chunk(Xp, 0, B)
-        else:
-            cc = B // fl.cluster_chunks
+        Yc = jnp.zeros((m.n_clusters, ROW), X.dtype)
+        for (s, n, wk), nch in zip(m.c_groups, fl.cluster_chunks):
+            if wk == 0 or n == 0:      # pad-only clusters -> zero slot sums
+                continue
+            if nch == 1:
+                Yc = jax.lax.dynamic_update_slice_in_dim(
+                    Yc, self._yc_chunk(Xp, s, n, wk), s, 0)
+            else:
+                cc = n // nch
 
-            def body(i, Yc):
-                Ycc = self._yc_chunk(Xp, i * cc, cc)
-                return jax.lax.dynamic_update_slice_in_dim(Yc, Ycc, i * cc, 0)
+                def body(i, Yc, s=s, cc=cc, wk=wk):
+                    Ycc = self._yc_chunk(Xp, s + i * cc, cc, wk)
+                    return jax.lax.dynamic_update_slice_in_dim(
+                        Yc, Ycc, s + i * cc, 0)
 
-            Yc = jax.lax.fori_loop(0, fl.cluster_chunks, body,
-                                   jnp.zeros((B, ROW), X.dtype))
+                Yc = jax.lax.fori_loop(0, nch, body, Yc)
         return self._combine(Yc)
 
     def diagonal(self):
@@ -540,8 +655,6 @@ class PackedPartialOperator:
         fl = self.flags
         m = self.plan.meta
         lam, mu = self.lam_mu
-        B = m.n_clusters
-        cc = B // fl.cluster_chunks
 
         def chunk(bs, n):
             Jc = jax.lax.dynamic_slice_in_dim(self.Jinv, bs, n, 2)
@@ -552,14 +665,20 @@ class PackedPartialOperator:
             return pk.compress(Fe, lconn, interpret=fl.interpret,
                                exact_dot=fl.exact_dot)
 
-        if fl.cluster_chunks == 1:
-            Yc = chunk(0, B)
-        else:
-            def body(i, Yc):
-                return jax.lax.dynamic_update_slice_in_dim(
-                    Yc, chunk(i * cc, cc), i * cc, 0)
-            Yc = jax.lax.fori_loop(0, fl.cluster_chunks, body,
-                                   jnp.zeros((B, ROW), self.W.dtype))
+        Yc = jnp.zeros((m.n_clusters, ROW), self.W.dtype)
+        for (s, n, wk), nch in zip(m.c_groups, fl.cluster_chunks):
+            if wk == 0 or n == 0:
+                continue
+            if nch == 1:
+                Yc = jax.lax.dynamic_update_slice_in_dim(Yc, chunk(s, n), s, 0)
+            else:
+                cc = n // nch
+
+                def body(i, Yc, s=s, cc=cc):
+                    return jax.lax.dynamic_update_slice_in_dim(
+                        Yc, chunk(s + i * cc, cc), s + i * cc, 0)
+
+                Yc = jax.lax.fori_loop(0, nch, body, Yc)
         return self._combine(Yc)
 
 
