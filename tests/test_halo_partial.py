@@ -109,6 +109,68 @@ def test_halo_partial_memory_model():
     assert bytes_per_elem <= 160
 
 
+def test_halo_partial_hierarchical_2level():
+    """2-level (hosts x chips) mesh: hierarchical partition + (dcn, ici)
+    axes + DCN-separated exchange rounds match the single-device op."""
+    from tpufem.parallel.dist import make_mesh_2d
+    coords, conn = meshgen.box_tet10(3, 3, 4)
+    N = coords.shape[0]
+    dmesh = make_mesh_2d((2, 4))
+    fem, part = build_halo_partial_fem(coords, conn, "c3d10", E, NU,
+                                       mesh=dmesh, part_shape=(2, 4),
+                                       precondition=False)
+    m = part.meta
+    assert m.part_shape == (2, 4) and m.n_parts == 8
+    # round structure: each round is a partial permutation, DCN first
+    host = lambda p: p // 4  # noqa: E731
+    kinds = []
+    for prs in m.rounds:
+        srcs = [s for s, _ in prs]
+        dsts = [d for _, d in prs]
+        assert len(set(srcs)) == len(srcs) and len(set(dsts)) == len(dsts)
+        kind = {host(s) != host(d) for s, d in prs}
+        assert len(kind) == 1            # never mixes DCN and ICI pairs
+        kinds.append(kind.pop())
+    assert kinds == sorted(kinds, reverse=True)   # DCN rounds first
+    assert m.ici_pairs > 0
+
+    K = solid.stiffness(jnp.asarray(coords), jnp.asarray(conn), "c3d10",
+                        E, NU)
+    op = MatrixFreeOperator(K=K, plan=ScatterPlan.build(conn, N, 3))
+    u = np.random.default_rng(2).standard_normal((N, 3))
+    F_ref = np.asarray(op(jnp.asarray(u)))
+    u_new = part.to_new(jnp.asarray(u))
+    F = np.asarray(part.to_old(fem.spmv(u_new)))
+    np.testing.assert_allclose(F, F_ref, rtol=1e-9,
+                               atol=1e-11 * np.abs(F_ref).max())
+    # whole-PCG path compiles and runs on the 2-axis mesh
+    fixed = meshgen.boundary_nodes(coords, 2, 0.0)
+    fem2, part2 = build_halo_partial_fem(coords, conn, "c3d10", E, NU,
+                                         mesh=dmesh, part_shape=(2, 4),
+                                         fixed_nodes=fixed)
+    b = np.zeros((N, 3))
+    b[meshgen.boundary_nodes(coords, 2, 4.0 / 3.0), 0] = 1e3
+    u_new2, info = fem2.pcg(part2.to_new(jnp.asarray(b)), tol=1e-9,
+                            max_iter=3000, dot_dtype=jnp.float64)
+    assert int(info.status) == 1
+
+
+def test_hierarchical_partition_localizes_dcn_traffic():
+    """Host-grouped partitioning ships fewer halo rows over DCN than a
+    flat partition mapped onto the same (2, 4) hierarchy."""
+    coords, conn = meshgen.box_tet(8, 8, 8)
+    from tpufem.parallel.partition import (hierarchical_partition,
+                                           partition_elements)
+    hier, _ = hierarchical_partition(conn, "c3d4", (2, 4), 0)
+    flat, _ = partition_elements(conn, "c3d4", 8, 0)
+    ph = HaloPartialPartition.build(coords, conn, "c3d4", E, NU, hier, 8,
+                                    part_shape=(2, 4))
+    pf = HaloPartialPartition.build(coords, conn, "c3d4", E, NU, flat, 8,
+                                    part_shape=(2, 4))
+    assert ph.meta.dcn_halo_rows < pf.meta.dcn_halo_rows
+    assert set(np.unique(hier)) <= set(range(8))
+
+
 def test_interior_boundary_split_nontrivial():
     """On a real-size partition the static interior batch is the majority
     of each part's elements (the overlap split has something to overlap)."""

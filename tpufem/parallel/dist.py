@@ -297,6 +297,20 @@ def make_mesh_1d(n_devices: Optional[int] = None, axis: str = "parts") -> Mesh:
     return jax.make_mesh((n,), (axis,), devices=devs[:n])
 
 
+def make_mesh_2d(shape: Tuple[int, int],
+                 axes: Tuple[str, str] = ("dcn", "ici")) -> Mesh:
+    """(hosts, chips-per-host) hierarchy: part p = host * chips + chip.
+
+    On real multi-host TPU the outer axis rides DCN and the inner rides
+    ICI (jax.devices() orders local chips contiguously per host); combined
+    with parallel.partition.hierarchical_partition this keeps most halo
+    pairs on the fast fabric.
+    """
+    devs = jax.devices()
+    n = shape[0] * shape[1]
+    return jax.make_mesh(shape, axes, devices=devs[:n])
+
+
 def build_distributed_fem(coords, conn, etype: str, E: float, nu: float,
                           n_parts: Optional[int] = None,
                           mesh: Optional[Mesh] = None, axis: str = "parts",

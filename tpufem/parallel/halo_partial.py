@@ -40,7 +40,11 @@ class _HPMeta:
     block_rows: int
     ghost_rows: int
     halo_width: int
-    rounds: Tuple[int, ...]
+    # each round is a tuple of (src, dst) part pairs forming a partial
+    # permutation (every part sends <= 1 and receives <= 1 per round);
+    # DCN (cross-host) rounds come first so the slow collectives launch
+    # earliest and never mix with ICI-only rounds
+    rounds: Tuple[Tuple[Tuple[int, int], ...], ...]
     elems_per_part: int
     interior_cut: int          # static count of guaranteed-interior elements
     nodes_per_elem: int
@@ -49,6 +53,35 @@ class _HPMeta:
     n_nodes: int
     lam: float
     mu: float
+    part_shape: Optional[Tuple[int, int]] = None  # (hosts, chips) hierarchy
+    dcn_pairs: int = 0         # halo pairs crossing the host boundary
+    ici_pairs: int = 0
+    dcn_halo_rows: int = 0     # sum of halo rows shipped over DCN per SpMV
+
+
+def _color_rounds(pairs, weight) -> list:
+    """Greedy edge-coloring of directed (src, dst) halo pairs into rounds.
+
+    Each round is a partial permutation (distinct sources, distinct
+    destinations) usable as one ``ppermute``; heavy pairs are placed
+    first so round count ~ max in/out degree (Konig) and the per-round
+    H padding stays balanced.
+    """
+    order = sorted(range(len(pairs)), key=lambda i: (-weight[i], pairs[i]))
+    rounds, used_s, used_d = [], [], []
+    for i in order:
+        s, d = pairs[i]
+        for ri in range(len(rounds)):
+            if s not in used_s[ri] and d not in used_d[ri]:
+                rounds[ri].append((s, d))
+                used_s[ri].add(s)
+                used_d[ri].add(d)
+                break
+        else:
+            rounds.append([(s, d)])
+            used_s.append({s})
+            used_d.append({d})
+    return [tuple(sorted(r)) for r in rounds]
 
 
 @jax.tree_util.register_dataclass
@@ -74,7 +107,9 @@ class HaloPartialPartition:
     @staticmethod
     def build(coords, conn, etype: str, E: float, nu: float, labels,
               n_parts: int, rule: str = "default", dtype=None,
-              affine: Optional[bool] = None) -> "HaloPartialPartition":
+              affine: Optional[bool] = None,
+              part_shape: Optional[Tuple[int, int]] = None
+              ) -> "HaloPartialPartition":
         from ..core.materials import lame_parameters
         from ..elements.tables import element_table
         from .partition import owner_of_nodes
@@ -110,13 +145,18 @@ class HaloPartialPartition:
             srcs = owner[ghosts[p]]
             for q_ in range(n_parts):
                 H_per[q_, p] = int((srcs == q_).sum())
-        rounds = [delta for delta in range(1, n_parts)
-                  if any(H_per[q_, (q_ + delta) % n_parts]
-                         for q_ in range(n_parts))]
-        H = max(1, int(max((H_per[q_, (q_ + delta) % n_parts]
-                            for delta in rounds for q_ in range(n_parts)),
-                           default=1)))
+        pairs_all = [(q_, p) for q_ in range(n_parts) for p in range(n_parts)
+                     if q_ != p and H_per[q_, p] > 0]
+        host_of = ((lambda p: p // part_shape[1]) if part_shape is not None
+                   else (lambda p: 0))
+        dcn = [e for e in pairs_all if host_of(e[0]) != host_of(e[1])]
+        ici = [e for e in pairs_all if host_of(e[0]) == host_of(e[1])]
+        rounds = (_color_rounds(dcn, [int(H_per[e]) for e in dcn])
+                  + _color_rounds(ici, [int(H_per[e]) for e in ici]))
+        rounds = [r for r in rounds if r]
+        H = max(1, int(max((H_per[e] for e in pairs_all), default=1)))
         R = max(1, len(rounds))
+        dcn_rows = int(sum(H_per[e] for e in dcn))
 
         # per-part element order: interior (all nodes owned) first
         conn_local = np.zeros((n_parts, Mp, k), np.int64)
@@ -139,9 +179,8 @@ class HaloPartialPartition:
         send_idx = np.zeros((n_parts, R, H), np.int64)
         recv_slot = np.full((n_parts, R, H), B + G, np.int64)
         recv_mask = np.zeros((n_parts, R, H), np.float64)
-        for ri, delta in enumerate(rounds):
-            for q_ in range(n_parts):
-                p = (q_ + delta) % n_parts
+        for ri, prs in enumerate(rounds):
+            for q_, p in prs:
                 gl = ghosts[p]
                 mine = np.nonzero(owner[gl] == q_)[0]
                 h = mine.size
@@ -182,8 +221,11 @@ class HaloPartialPartition:
         q = Wq.shape[1]
         lam, mu = lame_parameters(E, nu)
 
-        meta = _HPMeta(n_parts, B, G, H, tuple(rounds), Mp, Mi_cut, k, q, qJ,
-                       n_nodes, float(lam), float(mu))
+        meta = _HPMeta(n_parts, B, G, H,
+                       tuple(tuple(r) for r in rounds), Mp, Mi_cut, k, q, qJ,
+                       n_nodes, float(lam), float(mu),
+                       part_shape=part_shape, dcn_pairs=len(dcn),
+                       ici_pairs=len(ici), dcn_halo_rows=dcn_rows)
         dNt = tuple(tuple(tuple(float(v) for v in row) for row in pt)
                     for pt in np.asarray(table.dN))
         i32 = lambda a: jnp.asarray(a.astype(np.int32))  # noqa: E731
@@ -230,7 +272,6 @@ class HaloPartialFEM:
     def _spmv_shard(self, Jinv, W, conn_local, inc, send_idx, recv_slot,
                     recv_mask, u_own):
         m = self.part.meta
-        P_ = m.n_parts
         Jinv, W, conn_local, inc = Jinv[0], W[0], conn_local[0], inc[0]
         send_idx, recv_slot, recv_mask = (send_idx[0], recv_slot[0],
                                           recv_mask[0])
@@ -244,12 +285,12 @@ class HaloPartialFEM:
         ue_int = u_own_pad[conn_local[:Mi]]
         Fe_int = self._pa(ue_int, Jinv[:Mi], W[:Mi])
 
-        # ghost exchange
+        # ghost exchange (each round = one partial-permutation collective;
+        # parts outside the round's pairs receive zeros into the pad slot)
         u_loc = u_own_pad
-        for ri, delta in enumerate(m.rounds):
+        for ri, prs in enumerate(m.rounds):
             buf = u_own[send_idx[ri]]
-            perm = [(q_, (q_ + delta) % P_) for q_ in range(P_)]
-            recv = jax.lax.ppermute(buf, self.axis, perm)
+            recv = jax.lax.ppermute(buf, self.axis, list(prs))
             u_loc = u_loc.at[recv_slot[ri]].add(recv * recv_mask[ri][:, None])
 
         # boundary batch: needs the ghosts
@@ -263,11 +304,11 @@ class HaloPartialFEM:
         F_own = F_loc[:m.block_rows]
         F_ghost_pad = jnp.concatenate(
             [F_loc[m.block_rows:], jnp.zeros((1, nd), rows.dtype)], axis=0)
-        for ri, delta in enumerate(m.rounds):
+        for ri, prs in enumerate(m.rounds):
             buf = (F_ghost_pad[recv_slot[ri] - m.block_rows]
                    * recv_mask[ri][:, None])
-            perm = [((q_ + delta) % P_, q_) for q_ in range(P_)]
-            back = jax.lax.ppermute(buf, self.axis, perm)
+            back = jax.lax.ppermute(buf, self.axis,
+                                    [(p, q_) for q_, p in prs])
             F_own = F_own.at[send_idx[ri]].add(back)
         return F_own
 
@@ -285,7 +326,6 @@ class HaloPartialFEM:
     def _diag_shard(self, Jinv, W, conn_local, inc, send_idx, recv_slot,
                     recv_mask):
         m = self.part.meta
-        P_ = m.n_parts
         Jinv, W, conn_local, inc = Jinv[0], W[0], conn_local[0], inc[0]
         send_idx, recv_slot, recv_mask = (send_idx[0], recv_slot[0],
                                           recv_mask[0])
@@ -314,11 +354,11 @@ class HaloPartialFEM:
         F_own = F_loc[:m.block_rows]
         F_ghost_pad = jnp.concatenate(
             [F_loc[m.block_rows:], jnp.zeros((1, 3), rows.dtype)], axis=0)
-        for ri, delta in enumerate(m.rounds):
+        for ri, prs in enumerate(m.rounds):
             buf = (F_ghost_pad[recv_slot[ri] - m.block_rows]
                    * recv_mask[ri][:, None])
-            perm = [((q_ + delta) % P_, q_) for q_ in range(P_)]
-            back = jax.lax.ppermute(buf, self.axis, perm)
+            back = jax.lax.ppermute(buf, self.axis,
+                                    [(p, q_) for q_, p in prs])
             F_own = F_own.at[send_idx[ri]].add(back)
         return F_own
 
@@ -416,20 +456,37 @@ class HaloPartialFEM:
 
 
 def build_halo_partial_fem(coords, conn, etype: str, E: float, nu: float,
-                           mesh: Optional[Mesh] = None, axis: str = "parts",
+                           mesh: Optional[Mesh] = None, axis=None,
                            fixed_nodes=None, labels=None, seed: int = 0,
-                           dtype=None, precondition: bool = True):
-    """One-call setup of the geometry-factor halo-distributed system."""
-    from .partition import partition_elements
+                           dtype=None, precondition: bool = True,
+                           part_shape: Optional[Tuple[int, int]] = None):
+    """One-call setup of the geometry-factor halo-distributed system.
 
-    mesh = mesh or make_mesh_1d(None, axis)
+    part_shape=(hosts, chips_per_host) selects the 2-level hierarchy: a
+    (dcn, ici) device mesh, host-then-chip hierarchical partitioning, and
+    DCN-separated exchange rounds.  Default: flat 1-D mesh.
+    """
+    from .dist import make_mesh_2d
+    from .partition import hierarchical_partition, partition_elements
+
+    if part_shape is not None:
+        axis = axis or ("dcn", "ici")
+        mesh = mesh or make_mesh_2d(part_shape, axis)
+    else:
+        axis = axis or "parts"
+        mesh = mesh or make_mesh_1d(None, axis)
     n_parts = mesh.devices.size
     conn_np = np.asarray(conn)
     N = np.asarray(coords).shape[0]
     if labels is None:
-        labels, _ = partition_elements(conn_np, etype, n_parts, seed)
+        if part_shape is not None:
+            labels, _ = hierarchical_partition(conn_np, etype, part_shape,
+                                               seed)
+        else:
+            labels, _ = partition_elements(conn_np, etype, n_parts, seed)
     part = HaloPartialPartition.build(coords, conn_np, etype, E, nu, labels,
-                                      n_parts, dtype=dtype)
+                                      n_parts, dtype=dtype,
+                                      part_shape=part_shape)
     fem = HaloPartialFEM(mesh, axis, part)
     fdt = np.dtype(jax.dtypes.canonicalize_dtype(
         jnp.asarray(part.W).dtype))

@@ -142,6 +142,39 @@ def partition_elements(conn, etype: str, n_parts: int, seed: int = 0,
                                     seed, balanced=balanced)
 
 
+def hierarchical_partition(conn, etype: str, shape: Tuple[int, int],
+                           seed: int = 0, balanced: bool = True
+                           ) -> Tuple[np.ndarray, np.ndarray]:
+    """Two-level (host x chip) labels for an ICI/DCN device hierarchy.
+
+    First region-grows ``shape[0]`` host groups on the element dual graph,
+    then region-grows ``shape[1]`` chip parts inside each host's subgraph,
+    so chips of one host hold spatially adjacent subdomains: halo pairs
+    concentrate inside hosts (ICI) and only host-surface pairs cross DCN.
+    Returns (labels [M] with part id = host * shape[1] + chip,
+    host_labels [M]).
+    """
+    from ..topology.faces import element_dual_graph
+
+    conn = np.asarray(conn)
+    M = conn.shape[0]
+    n_hosts, per = shape
+    edge = element_dual_graph(conn, etype)
+    host_labels, _ = region_growing_partition(edge, n_hosts, M, seed,
+                                              balanced=balanced)
+    labels = np.empty(M, np.int64)
+    for h in range(n_hosts):
+        sel = np.nonzero(host_labels == h)[0]
+        remap = np.full(M, -1, np.int64)
+        remap[sel] = np.arange(sel.size)
+        keep = (remap[edge[0]] >= 0) & (remap[edge[1]] >= 0)
+        sub_edge = np.stack([remap[edge[0, keep]], remap[edge[1, keep]]])
+        sub, _ = region_growing_partition(sub_edge, per, sel.size,
+                                          seed + 1 + h, balanced=balanced)
+        labels[sel] = h * per + sub
+    return labels, host_labels
+
+
 def owner_of_nodes(conn, labels, n_nodes: int) -> np.ndarray:
     """Node -> part ownership: the smallest part id among adjacent elements
     (deterministic; interface nodes get the lower-numbered side)."""
