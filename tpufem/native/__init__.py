@@ -62,6 +62,11 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.unique_edges.restype = ctypes.c_int64
     lib.unique_edges.argtypes = [i32p, ctypes.c_int64, ctypes.c_int32,
                                  i32p, ctypes.c_int32, i32p]
+    lib.sort_unique_inverse_i64.restype = ctypes.c_int64
+    lib.sort_unique_inverse_i64.argtypes = [i64p, ctypes.c_int64, i64p, i64p]
+    lib.first_touch_i32.restype = ctypes.c_int64
+    lib.first_touch_i32.argtypes = [i32p, ctypes.c_int64, ctypes.c_int64,
+                                    i32p]
     _LIB = lib
     return _LIB
 
@@ -166,3 +171,35 @@ def unique_edges(conn: np.ndarray, edge_table: np.ndarray
                           _p(edge_table, ctypes.c_int32), ne_tbl,
                           _p(out, ctypes.c_int32))
     return out[:ne].copy() if ne >= 0 else None
+
+
+def unique_inverse_i64(keys: np.ndarray
+                       ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """(ascending unique keys, inverse) of a non-negative int64 stream —
+    LSD radix, ~5x numpy's sort-based unique on multi-million-key inputs."""
+    lib = _load()
+    if lib is None:
+        return None
+    keys = np.ascontiguousarray(keys, dtype=np.int64)
+    n = keys.shape[0]
+    uniq = np.empty(n, np.int64)
+    inv = np.empty(n, np.int64)
+    nu = lib.sort_unique_inverse_i64(_p(keys, ctypes.c_int64), n,
+                                     _p(uniq, ctypes.c_int64),
+                                     _p(inv, ctypes.c_int64))
+    if nu < 0:
+        return None
+    return uniq[:nu].copy(), inv
+
+
+def first_touch(flat: np.ndarray, n_nodes: int) -> Optional[np.ndarray]:
+    """new_from_old[n_nodes]: first-appearance rank of each node in `flat`
+    (entries < 0 skipped; untouched nodes -1).  One O(n) pass."""
+    lib = _load()
+    if lib is None:
+        return None
+    flat = np.ascontiguousarray(flat, dtype=np.int32)
+    out = np.empty(int(n_nodes), np.int32)
+    rc = lib.first_touch_i32(_p(flat, ctypes.c_int32), flat.shape[0],
+                             int(n_nodes), _p(out, ctypes.c_int32))
+    return out if rc >= 0 else None

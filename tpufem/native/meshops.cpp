@@ -289,4 +289,69 @@ int64_t unique_edges(const int32_t* conn, int64_t M, int32_t k,
   return ne;
 }
 
+// Sorted unique + inverse of non-negative int64 keys (LSD radix over the
+// populated bit range).  Replaces numpy's sort-based np.unique(return_inverse)
+// on the multi-million-edge key streams of second-order mesh promotion:
+// uniq_out gets the ascending unique keys, inv_out[i] the position of keys[i]
+// in uniq_out.  Returns the unique count.
+int64_t sort_unique_inverse_i64(const int64_t* keys, int64_t n,
+                                int64_t* uniq_out, int64_t* inv_out) {
+  if (n == 0) return 0;
+  int64_t mx = 0;
+  for (int64_t i = 0; i < n; ++i)
+    if (keys[i] > mx) mx = keys[i];
+  int top_bit = 1;
+  while ((mx >> top_bit) != 0) ++top_bit;
+  const int B = 16;
+  int passes = (top_bit + B - 1) / B;
+  std::vector<int64_t> perm(n), tmp(n);
+  for (int64_t i = 0; i < n; ++i) perm[i] = i;
+  std::vector<int64_t> count(static_cast<size_t>(1) << B);
+  for (int pass = 0; pass < passes; ++pass) {
+    int shift = pass * B;
+    std::fill(count.begin(), count.end(), 0);
+    for (int64_t i = 0; i < n; ++i)
+      ++count[(static_cast<uint64_t>(keys[perm[i]]) >> shift) & 0xFFFF];
+    int64_t acc = 0;
+    for (int64_t c = 0; c < (1 << B); ++c) {
+      int64_t t = count[c];
+      count[c] = acc;
+      acc += t;
+    }
+    for (int64_t i = 0; i < n; ++i) {
+      uint64_t bucket = (static_cast<uint64_t>(keys[perm[i]]) >> shift) & 0xFFFF;
+      tmp[count[bucket]++] = perm[i];
+    }
+    perm.swap(tmp);
+  }
+  int64_t nu = -1;
+  int64_t prev = -1;
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t k = keys[perm[i]];
+    if (k != prev) {
+      ++nu;
+      uniq_out[nu] = k;
+      prev = k;
+    }
+    inv_out[perm[i]] = nu;
+  }
+  return nu + 1;
+}
+
+// First-touch node numbering: new_from_old[node] = order of first appearance
+// of `node` in `flat` (entries < 0 skipped); untouched nodes stay -1.
+// Returns the number of referenced nodes.  Replaces the packed-plan
+// unique(return_index) + argsort pair with one O(n) pass.
+int64_t first_touch_i32(const int32_t* flat, int64_t n, int64_t n_nodes,
+                        int32_t* new_from_old_out) {
+  for (int64_t i = 0; i < n_nodes; ++i) new_from_old_out[i] = -1;
+  int32_t next = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    int32_t v = flat[i];
+    if (v < 0 || v >= n_nodes) continue;
+    if (new_from_old_out[v] < 0) new_from_old_out[v] = next++;
+  }
+  return next;
+}
+
 }  // extern "C"

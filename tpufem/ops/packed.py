@@ -61,6 +61,10 @@ def morton_order(coords: np.ndarray, conn: np.ndarray) -> np.ndarray:
     q = ((cent - mn) / np.maximum(mx - mn, 1e-30) * 1023.0).astype(np.uint64)
     key = (_spread_bits(q[:, 0]) | (_spread_bits(q[:, 1]) << 1)
            | (_spread_bits(q[:, 2]) << 2))
+    from .. import native
+    perm = native.radix_argsort(key.astype(np.int32))  # 30-bit keys fit i32
+    if perm is not None:
+        return perm
     return np.argsort(key, kind="stable")
 
 
@@ -215,14 +219,22 @@ class PackedPlan:
 
         # first-touch node numbering (cluster-major)
         flat = conn_c.reshape(-1)
-        valid = flat >= 0
-        uniq, first_idx = np.unique(flat[valid], return_index=True)
-        touch_order = np.argsort(first_idx, kind="stable")
-        new_from_old = np.full(n_nodes, -1, np.int64)
-        new_from_old[uniq[touch_order]] = np.arange(uniq.size)
+        from .. import native
+        nfo = native.first_touch(flat, n_nodes)
+        if nfo is not None:
+            new_from_old = nfo
+            n_ref = int(new_from_old.max()) + 1
+        else:
+            valid = flat >= 0
+            uniq, first_idx = np.unique(flat[valid], return_index=True)
+            touch_order = np.argsort(first_idx, kind="stable")
+            new_from_old = np.full(n_nodes, -1, np.int32)
+            new_from_old[uniq[touch_order]] = np.arange(uniq.size,
+                                                        dtype=np.int32)
+            n_ref = uniq.size
         # unreferenced nodes go after all referenced ones (stable)
         missing = np.nonzero(new_from_old < 0)[0]
-        new_from_old[missing] = uniq.size + np.arange(missing.size)
+        new_from_old[missing] = n_ref + np.arange(missing.size)
         Nb = -(-n_nodes // BLK)
         Nb = -(-Nb // 8) * 8
         Npad = Nb * BLK
@@ -241,7 +253,7 @@ class PackedPlan:
         if int(n_slots.max()) > L_SLOTS:
             raise ValueError("cluster slot overflow after splitting; "
                              "lower elems_per_cluster")
-        l2g = np.full((B, L_SLOTS), -1, np.int64)
+        l2g = np.full((B, L_SLOTS), -1, np.int32)
         bidx = np.broadcast_to(np.arange(B)[:, None], srt.shape)
         slot_of_sorted = np.cumsum(first, axis=1) - 1
         l2g[bidx[first], slot_of_sorted[first]] = srt[first]
@@ -255,7 +267,7 @@ class PackedPlan:
 
         # element-lane slot table, kk-major: r = kk * E_c + e
         Rp = -(-k * E_c // 128) * 128
-        lconn = np.zeros((B, Rp), np.int64)
+        lconn = np.zeros((B, Rp), np.int32)
         lconn[:, : k * E_c] = np.transpose(slot_of_entry, (0, 2, 1)
                                            ).reshape(B, k * E_c)
 
@@ -267,7 +279,7 @@ class PackedPlan:
         bfirst &= bsort >= 0
         Wn = int(bfirst.sum(axis=1).max()) if B else 1
         Wn = max(Wn, 1)
-        win_nodes = np.full((B, Wn), Nb, np.int64)          # pad -> zero row
+        win_nodes = np.full((B, Wn), Nb, np.int32)          # pad -> zero row
         # vectorized window fill: emit (b, block) unique pairs in block order
         bidx2 = np.broadcast_to(np.arange(B)[:, None], bsort.shape)
         pair_b = bidx2[bfirst]
@@ -277,8 +289,8 @@ class PackedPlan:
         # per-slot source coordinates: window index of the slot's block
         # (rows of win_nodes are block-sorted; Wn is tiny, so a broadcast
         # equality match is cheap and vectorized)
-        wslot = np.full((B, L_SLOTS), Wn, np.int64)
-        jslot = np.zeros((B, L_SLOTS), np.int64)
+        wslot = np.full((B, L_SLOTS), Wn, np.int32)
+        jslot = np.zeros((B, L_SLOTS), np.int32)
         vb, vs = np.nonzero(l2g >= 0)
         g = l2g[vb, vs]
         # window index of each slot's block: win_nodes rows are sorted and
@@ -294,19 +306,22 @@ class PackedPlan:
         # cluster windows per node-block + slot index of each node
         jblk = g // BLK
         key_all = jblk * np.int64(B + 1) + vb
-        key = np.unique(key_all)
+        nat = native.unique_inverse_i64(key_all) if key_all.size else None
+        if nat is not None:
+            key, w_of_pair = nat
+        else:
+            key, w_of_pair = np.unique(key_all, return_inverse=True)
         up_blk = (key // (B + 1)).astype(np.int64)
         up_cl = (key % (B + 1)).astype(np.int64)
         Wc = int(np.bincount(up_blk, minlength=Nb).max()) if key.size else 1
         Wc = max(Wc, 1)
-        winc = np.full((Nb, Wc), B, np.int64)               # pad -> zero row
+        winc = np.full((Nb, Wc), B, np.int32)               # pad -> zero row
         # emission order: sorted by (block, cluster) — deterministic
         srt_blocks, blk_starts = np.unique(up_blk, return_index=True)
         pos = np.arange(key.size) - blk_starts[
             np.searchsorted(srt_blocks, up_blk)]
         winc[up_blk, pos] = up_cl
         # map each (slot, node) to its (block, window) cell
-        w_of_pair = np.searchsorted(key, key_all)
         slotidx = np.full((Nb, Wc, BLK), -1, np.int32)
         slotidx[jblk, pos[w_of_pair], g % BLK] = vs
 

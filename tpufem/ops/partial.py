@@ -217,11 +217,16 @@ def chunked_geometry(coords, conn_sel, table, dtype, chunk: int = 1 << 21):
                 jnp.asarray(table.weights, dtype)[None, :] * detJ, spread)
 
     parts_J, parts_W, spreads = [], [], []
+    conn_np = np.asarray(conn_sel)
     for a in range(0, M, chunk):
         b = min(a + chunk, M)
-        Ji, Wi, sp = one(coords, jnp.asarray(conn_sel[a:b]))
-        parts_J.append(Ji)
-        parts_W.append(Wi)
+        cc = conn_np[a:b]
+        pad = chunk - (b - a)
+        if pad:  # keep one static shape -> one compile for all chunks
+            cc = np.concatenate([cc, np.broadcast_to(cc[:1], (pad,) + cc.shape[1:])])
+        Ji, Wi, sp = one(coords, jnp.asarray(cc))
+        parts_J.append(Ji[: b - a])
+        parts_W.append(Wi[: b - a])
         spreads.append(float(_jax.device_get(sp)))
     return (jnp.concatenate(parts_J, axis=0),
             jnp.concatenate(parts_W, axis=0),

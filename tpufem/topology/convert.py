@@ -12,7 +12,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from ..utils.meshgen import (_unique_edge_midpoints, _TET_EDGES,
+from ..utils.meshgen import (_unique_edge_midpoints, unique_rows2, _TET_EDGES,
                              hex8_to_hex20, tet4_to_tet10, wedge6_to_wedge15)
 
 # Sub-tetrahedra tables (reference solver/element.py):
@@ -72,7 +72,7 @@ def c3d4_to_c3d10(coords, conn, rbe2_ids=None, rbe3_ids=None):
         member = np.zeros(coords.shape[0], bool)
         member[ids] = True
         e_sorted = np.sort(edges, axis=1)
-        uniq_edges = np.unique(e_sorted, axis=0)
+        uniq_edges, _ = unique_rows2(e_sorted, coords.shape[0])
         both = member[uniq_edges[:, 0]] & member[uniq_edges[:, 1]]
         new_ids = coords.shape[0] + np.nonzero(both)[0]
         return np.concatenate([ids, new_ids]).astype(np.int32)

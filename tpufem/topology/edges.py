@@ -3,6 +3,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..utils.meshgen import unique_rows2
+
 _EDGE_TABLES = {
     "c3d4": np.array([[0, 1], [0, 2], [0, 3], [1, 2], [1, 3], [2, 3]]),
     "c3d10": np.array([[0, 1], [0, 2], [0, 3], [1, 2], [1, 3], [2, 3]]),
@@ -34,7 +36,7 @@ def element_to_edge(conn, etype: str = "c3d4"):
         return nat[order].T.copy()
     edges = conn[:, table].reshape(-1, 2)
     edges = np.sort(edges, axis=1)
-    uniq = np.unique(edges, axis=0)
+    uniq, _ = unique_rows2(edges)
     return uniq.T.copy()
 
 
@@ -56,8 +58,9 @@ def shared_edges(conn, etype: str):
     """
     table = _EDGE_TABLES[etype.lower()]
     edges, elem_ids, edge_ids = _edge_incidence(conn, table)
-    _, inv, counts = np.unique(edges, axis=0, return_inverse=True,
-                               return_counts=True)
+    base = int(edges.max()) + 1 if edges.size else 1
+    key = edges[:, 0].astype(np.int64) * base + edges[:, 1]
+    _, inv, counts = np.unique(key, return_inverse=True, return_counts=True)
     shared = np.nonzero(counts == 2)[0]
     if shared.size == 0:
         return np.empty((0, 2, 2), dtype=np.int64)
@@ -88,8 +91,9 @@ def boundary_edges(conn, etype: str):
         raise ValueError("boundary_edges is a shell operation (s3/s4)")
     edges_raw = conn[:, table].reshape(-1, 2)
     opp = conn[:, opp_local].reshape(-1)
-    key = np.sort(edges_raw, axis=1)
-    _, inv, counts = np.unique(key, axis=0, return_inverse=True,
-                               return_counts=True)
+    ek = np.sort(edges_raw, axis=1)
+    base = int(ek.max()) + 1 if ek.size else 1
+    key = ek[:, 0].astype(np.int64) * base + ek[:, 1]
+    _, inv, counts = np.unique(key, return_inverse=True, return_counts=True)
     mask = counts[inv] == 1
     return edges_raw[mask], opp[mask]

@@ -57,7 +57,14 @@ def box_tet(nx: int, ny: int, nz: int, lx=1.0, ly=1.0, lz=1.0):
     """Conforming tetrahedral box mesh (Kuhn 6-tet split of each hex)."""
     coords, hexes = box_hex(nx, ny, nz, lx, ly, lz)
     tets = hexes[:, _KUHN_TETS].reshape(-1, 4)
-    return coords, _fix_orientation(coords, tets).astype(np.int32)
+    # every cell is the same axis-aligned box, so the orientation sign of
+    # sub-tet i is identical across cells: fix the 6-tet pattern once
+    pattern = tets[:6]
+    p = coords[pattern]
+    neg = np.linalg.det(p[:, 1:4] - p[:, 0:1]) < 0
+    flip = np.tile(neg, tets.shape[0] // 6)
+    tets[flip] = tets[flip][:, [0, 1, 3, 2]]
+    return coords, tets.astype(np.int32)
 
 
 def box_wedge(nx: int, ny: int, nz: int, lx=1.0, ly=1.0, lz=1.0):
@@ -68,13 +75,37 @@ def box_wedge(nx: int, ny: int, nz: int, lx=1.0, ly=1.0, lz=1.0):
     return coords, np.concatenate([w1, w2], axis=0).astype(np.int32)
 
 
+def unique_rows2(rows, base: int | None = None):
+    """`np.unique(rows, axis=0, return_inverse=True)` for [E, 2] int rows.
+
+    Encodes each row as one int64 key (`a * base + b`) so the unique runs on
+    a scalar sort instead of numpy's void-view lexsort — ~10x faster on
+    multi-million-edge streams (the c3d4 -> c3d10 promotion path at
+    north-star scale).  Ordering is identical to the axis=0 form as long as
+    `base > rows.max()`.
+    """
+    from .. import native
+
+    rows = np.asarray(rows)
+    if base is None:
+        base = int(rows.max()) + 1 if rows.size else 1
+    key = rows[:, 0].astype(np.int64) * np.int64(base) + rows[:, 1]
+    nat = native.unique_inverse_i64(key) if key.size else None
+    if nat is not None:
+        uniq_key, inv = nat
+    else:
+        uniq_key, inv = np.unique(key, return_inverse=True)
+    uniq = np.stack([uniq_key // base, uniq_key % base], axis=1)
+    return uniq.astype(rows.dtype, copy=False), inv
+
+
 def _unique_edge_midpoints(coords, edges_flat):
     """Insert unique midpoints for an [E,2] edge list.
 
     Returns (new_coords, mid_index[E] into new_coords).
     """
     e_sorted = np.sort(edges_flat, axis=1)
-    uniq, inv = np.unique(e_sorted, axis=0, return_inverse=True)
+    uniq, inv = unique_rows2(e_sorted, coords.shape[0])
     mids = 0.5 * (coords[uniq[:, 0]] + coords[uniq[:, 1]])
     new_coords = np.concatenate([coords, mids], axis=0)
     return new_coords, coords.shape[0] + inv
