@@ -110,7 +110,8 @@ def main():
     bytes_min = (m.n_clusters * m.elems_per_cluster * (qJ * 9 + q) * 4
                  + (cw + 2 * m.n_clusters) * 1536
                  + (bw + m.n_blocks) * 1536
-                 + bw * 512)                       # slotidx int32 stream
+                 + bw * 512                        # slotidx int32 stream
+                 + m.n_clusters * sum(m.v_widths) * 512)  # cinc stream
     roofline_fraction = (bytes_min / t_spmv) / 897e9
 
     # --- packed PCG iterations/s ----------------------------------------

@@ -85,8 +85,8 @@ def main():
                 if depth == 3:
                     return jnp.sum(fe3)
                 Fe = opx._planar_to_lanes(fe3, m.lanes)
-                lc = jax.lax.dynamic_slice_in_dim(opx.plan.lconn, bs, nn2, 0)
-                return jnp.sum(pk.compress(Fe, lc, exact_dot=fl.exact_dot))
+                ci = jax.lax.dynamic_slice_in_dim(opx.plan.cinc, bs, nn2, 0)
+                return jnp.sum(pk.compress_gather(Fe, ci, m.v_widths))
 
             if nch == 1:
                 acc = acc + one(s, nn)

@@ -150,6 +150,9 @@ class _PackedMeta:
     # width in gather traffic and kernel loop trips (MAX-padding fix)
     c_groups: Tuple[Tuple[int, int, int], ...] = ()
     b_groups: Tuple[Tuple[int, int, int], ...] = ()
+    # per-128-lane-chunk widths of the compress incidence lists (static
+    # loop trip counts of the gather-compress kernel)
+    v_widths: Tuple[int, ...] = ()
 
 
 @jax.tree_util.register_dataclass
@@ -161,6 +164,7 @@ class PackedPlan:
     wslot: jnp.ndarray        # [B, 128] window index of slot (pad -> Wn)
     jslot: jnp.ndarray        # [B, 128] lane within window row
     lconn: jnp.ndarray        # [B, Rp] slot of each element lane
+    cinc: jnp.ndarray         # [B, sum(v_widths), 128] lane pos per slot (-1)
     winc: jnp.ndarray         # [Nb, Wc] int32 cluster (pad -> B)
     slotidx: jnp.ndarray      # [Nb, Wc, 128] slot of node in cluster (-1)
     new_from_old: jnp.ndarray  # [N] int32
@@ -271,6 +275,43 @@ class PackedPlan:
         lconn[:, : k * E_c] = np.transpose(slot_of_entry, (0, 2, 1)
                                            ).reshape(B, k * E_c)
 
+        # compress incidence lists (transposed lconn): for every slot and
+        # each 128-lane chunk g of the element lanes, the lane positions
+        # that scatter into it.  Pad-element lanes are excluded (their Fe
+        # is zero); order within a slot is ascending lane — deterministic.
+        kEc = k * E_c
+        Gch = -(-kEc // 128)
+        ev = esrc >= 0                              # [B, E_c]
+        lane_valid = np.tile(ev, (1, k))            # lane r = kk*E_c + e
+        vb2, vr2 = np.nonzero(lane_valid)
+        sl2 = lconn[:, :kEc][vb2, vr2].astype(np.int64)
+        g2 = vr2 // 128
+        lp2 = (vr2 % 128).astype(np.int32)
+        ckey = ((vb2 * Gch + g2) * 128 + sl2).astype(np.int64)
+        from .. import native
+        if ckey.size and ckey.max() < np.iinfo(np.int32).max:
+            cord = native.radix_argsort(ckey.astype(np.int32))
+            if cord is None:
+                cord = np.argsort(ckey, kind="stable")
+        else:
+            cord = np.argsort(ckey, kind="stable")
+        ks = ckey[cord]
+        newg = np.ones(ks.size, bool)
+        newg[1:] = ks[1:] != ks[:-1]
+        aidx = np.arange(ks.size, dtype=np.int64)
+        start = aidx[newg][np.cumsum(newg) - 1]
+        vpos = aidx - start
+        gs = (ks // 128) % Gch
+        v_widths = []
+        for g in range(Gch):
+            m_g = gs == g
+            v_widths.append(int(vpos[m_g].max()) + 1 if m_g.any() else 0)
+        voff = np.zeros(Gch, np.int64)
+        voff[1:] = np.cumsum(v_widths)[:-1]
+        Vsum = int(sum(v_widths))
+        cinc = np.full((B, max(Vsum, 1), 128), -1, np.int32)
+        cinc[vb2[cord], voff[gs] + vpos, ks % 128] = lp2[cord]
+
         # node-block windows per cluster + per-slot source coordinates
         blk = np.where(l2g >= 0, l2g // BLK, -1)
         bsort = np.sort(blk, axis=1)
@@ -353,15 +394,17 @@ class PackedPlan:
         wslot = wslot[cperm]
         jslot = jslot[cperm]
         lconn = lconn[cperm]
+        cinc = cinc[cperm]
         esrc = esrc[cperm]
         winc = np.where(winc < B, cpos[np.minimum(winc, B - 1)], B)
 
         meta = _PackedMeta(n_nodes, Nb, B, E_c, k, Rp, Wn, Wc,
-                           c_groups, b_groups)
+                           c_groups, b_groups, tuple(v_widths))
         i32 = lambda a: jnp.asarray(a.astype(np.int32))  # noqa: E731
         return PackedPlan(
             win_nodes=i32(win_nodes), wslot=i32(wslot), jslot=i32(jslot),
-            lconn=i32(lconn), winc=i32(winc), slotidx=i32(slotidx),
+            lconn=i32(lconn), cinc=i32(cinc), winc=i32(winc),
+            slotidx=i32(slotidx),
             new_from_old=i32(new_from_old), old_from_new=i32(old_from_new),
             esrc=i32(esrc.reshape(-1)), meta=meta)
 
@@ -564,9 +607,11 @@ class PackedPartialOperator:
         # process each bucket's clusters / node blocks in chunks that fit
         # the budget (bucket width sets the per-row gather bytes)
         itemsize = jnp.dtype(dtype).itemsize
+        cinc_row = sum(m.v_widths) * BLK * 4
         cchunks = tuple(
             _n_chunks(n, chunk_budget_bytes,
-                      max(wk, 1) * ROW * itemsize + m.lanes * 3 * itemsize)
+                      max(wk, 1) * ROW * itemsize + m.lanes * 3 * itemsize
+                      + cinc_row)
             for (_, n, wk) in m.c_groups)
         bchunks = tuple(
             _n_chunks(n, chunk_budget_bytes,
@@ -609,8 +654,8 @@ class PackedPartialOperator:
         Wc = jax.lax.dynamic_slice_in_dim(self.W, bs, n, 1)
         fe3 = pa_apply_planar(ue3, Jc, Wc, self.dN.array, lam, mu)
         Fe = self._planar_to_lanes(fe3, m.lanes)
-        return pk.compress(Fe, lconn, interpret=fl.interpret,
-                           exact_dot=fl.exact_dot)
+        return pk.compress_gather(Fe, sl(self.plan.cinc), m.v_widths,
+                                  interpret=fl.interpret)
 
     def _combine(self, Yc):
         """Slot sums [B, 384] -> node rows [Nb, 384] (bucketed windows)."""
@@ -676,9 +721,9 @@ class PackedPartialOperator:
             Wc = jax.lax.dynamic_slice_in_dim(self.W, bs, n, 1)
             d3 = pa_diag_planar(Jc, Wc, self.dN.array, lam, mu)
             Fe = self._planar_to_lanes(d3, m.lanes)
-            lconn = jax.lax.dynamic_slice_in_dim(self.plan.lconn, bs, n, 0)
-            return pk.compress(Fe, lconn, interpret=fl.interpret,
-                               exact_dot=fl.exact_dot)
+            cinc = jax.lax.dynamic_slice_in_dim(self.plan.cinc, bs, n, 0)
+            return pk.compress_gather(Fe, cinc, m.v_widths,
+                                      interpret=fl.interpret)
 
         Yc = jnp.zeros((m.n_clusters, ROW), self.W.dtype)
         for (s, n, wk), nch in zip(m.c_groups, fl.cluster_chunks):
