@@ -18,6 +18,13 @@ Timing notes for the axon-tunneled TPU backend:
 * There is a constant multi-ms tunnel round-trip per call; loop kernels are
   timed at two iteration counts and differenced (slope method) so the
   constant cancels.
+* The slope is SELF-CHECKING (BENCH_r02 regression: one jittery run made
+  t_hi <= t_lo and reported a nonsense 7.5e16 nnz/s): a measurement is
+  accepted only when the long-loop time clearly exceeds the short-loop
+  time; otherwise the separation is widened and remeasured, with a
+  conservative t_hi/hi upper-bound fallback.
+* The SpMV loop renormalizes the vector every iteration (rsqrt of the
+  mean square) so iterates stay finite for any K scaling.
 * Operators/plans are passed as pytree ARGUMENTS, never closed over.
 
 BENCH_SCALE=1 adds the north-star configuration (>=5M-element c3d10 PCG on
@@ -27,23 +34,48 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
 
 
-def _timed_scalar(fn, *args, reps: int = 3) -> float:
-    """Median wall time of float(fn(*args)) — host readback forces sync."""
-    float(fn(*args))  # warm / compile
+def _min_time(fn, args, reps: int = 5) -> float:
+    """Min wall time — tunnel jitter is one-sided (hiccups only add)."""
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
         float(fn(*args))
         ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
+    return float(min(ts))
 
 
-def _spmv_loop(d):
+def _slope(make, args, lo: int = 5, hi: int = 105, reps: int = 5,
+           tries: int = 3) -> float:
+    """Per-iteration seconds from a guarded two-point loop-length slope.
+
+    make(iters) must return a jitted callable whose wall time is
+    (constant overhead) + iters * t.  Accepts the slope only when the
+    signal is well above jitter (t_hi >= 1.25 * t_lo); otherwise widens
+    the separation.  Falls back to t_hi / hi — an upper bound on t (it
+    still contains the constant), never a silent zero.
+    """
+    f_lo = make(lo)
+    float(f_lo(*args))          # compile + warm
+    t_lo = _min_time(f_lo, args, reps)
+    for _ in range(tries):
+        f_hi = make(hi)
+        float(f_hi(*args))
+        t_hi = _min_time(f_hi, args, reps)
+        if t_hi >= 1.25 * t_lo:
+            return (t_hi - t_lo) / (hi - lo)
+        print(f"bench: weak slope signal (lo={lo}:{t_lo * 1e3:.2f} ms, "
+              f"hi={hi}:{t_hi * 1e3:.2f} ms); widening", file=sys.stderr)
+        hi *= 3
+    return max(t_hi / (hi // 3), 1e-12)
+
+
+def _spmv_loop(_d):
     import jax
     import jax.numpy as jnp
 
@@ -51,10 +83,17 @@ def _spmv_loop(d):
         @jax.jit
         def f(opx, u):
             def body(i, v):
-                return opx(v) * (1.0 / jnp.float32(d))
+                y = opx(v)
+                return y * jax.lax.rsqrt(jnp.mean(jnp.square(y)) + 1e-30)
             return jnp.sum(jax.lax.fori_loop(0, iters, body, u))
         return f
     return make
+
+
+def _cinc_bytes(meta) -> int:
+    """HBM bytes of the per-bucket byte-packed incidence tables."""
+    return sum(n * -(-sum(meta.cv_widths[gi]) // 4) * 128 * 4
+               for gi, (_, n, _) in enumerate(meta.c_groups))
 
 
 def main():
@@ -87,9 +126,7 @@ def main():
             return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
         return f
 
-    t1 = _timed_scalar(make_assemble(1), coords_j, conn_j)
-    t4 = _timed_scalar(make_assemble(4), coords_j, conn_j)
-    t_asm = max((t4 - t1) / 3, 1e-9)
+    t_asm = _slope(make_assemble, (coords_j, conn_j), lo=1, hi=4)
     elems_per_s = M / t_asm
 
     # --- headline: packed-layout partial-assembly operator --------------
@@ -97,9 +134,7 @@ def main():
                                      n_nodes=N)
     u0 = np.random.default_rng(0).standard_normal((N, 3)).astype(np.float32)
     X0 = jnp.asarray(op.plan.pack_np(u0))
-    tA = _timed_scalar(make_spmv(5), op, X0)
-    tB = _timed_scalar(make_spmv(45), op, X0)
-    t_spmv = max((tB - tA) / 40, 1e-9)
+    t_spmv = _slope(make_spmv, (op, X0), lo=5, hi=105)
     nnz_per_s = nnz / t_spmv
     # roofline honesty: minimal HBM bytes the operator must move per apply
     # (geometry stream + window-gathered X rows + Yc twice + F out)
@@ -111,7 +146,7 @@ def main():
                  + (cw + 2 * m.n_clusters) * 1536
                  + (bw + m.n_blocks) * 1536
                  + bw * 512                        # slotidx int32 stream
-                 + m.n_clusters * sum(m.v_widths) * 512)  # cinc stream
+                 + _cinc_bytes(m))                 # packed incidence stream
     roofline_fraction = (bytes_min / t_spmv) / 897e9
 
     # --- packed PCG iterations/s ----------------------------------------
@@ -120,16 +155,14 @@ def main():
     b = np.zeros((N, 3), np.float32)
     b[meshgen.boundary_nodes(coords, 2, 1.0), 2] = -1e3
 
-    def pcg_time(iters):
-        _, info = sys_.solve(b, tol=0.0, max_iter=iters)
-        float(info.residual_norm)
-        t0 = time.perf_counter()
-        _, info = sys_.solve(b, tol=0.0, max_iter=iters)
-        float(info.residual_norm)
-        return time.perf_counter() - t0
+    def make_pcg(iters):
+        def run(_marker):
+            _, info = sys_.solve(b, tol=0.0, max_iter=iters)
+            assert int(info.iterations) == iters, "PCG exited early"
+            return info.residual_norm
+        return run
 
-    c1, c2 = pcg_time(10), pcg_time(60)
-    t_cg = max((c2 - c1) / 50, 1e-9)
+    t_cg = _slope(make_pcg, ((),), lo=10, hi=110, reps=3)
     cg_iters_per_s = 1.0 / t_cg
 
     # --- round-1 clustered operator (continuity) + BSR SpMV -------------
@@ -137,15 +170,11 @@ def main():
         c, cj, "c3d10", 200e9, 0.3))(coords_j, conn_j)
     opc = ClusteredOperator.build(K, conn, N, 3, elems_per_cluster=32)
     uc = jnp.asarray(u0)
-    tc1 = _timed_scalar(make_spmv(5), opc, uc)
-    tc2 = _timed_scalar(make_spmv(25), opc, uc)
-    clustered_nnz_per_s = nnz / max((tc2 - tc1) / 20, 1e-9)
+    clustered_nnz_per_s = nnz / _slope(make_spmv, (opc, uc), lo=5, hi=35)
 
     struct = build_bsr_structure(conn, N, 3)
     A = assemble_bsr(K, k, struct)
-    tb1 = _timed_scalar(make_spmv(5), A, uc)
-    tb2 = _timed_scalar(make_spmv(25), A, uc)
-    t_bsr = max((tb2 - tb1) / 20, 1e-9)
+    t_bsr = _slope(make_spmv, (A, uc), lo=5, hi=35)
     bsr_nnz_per_s = struct.nnz / t_bsr
 
     # --- torch-CPU baseline (reference pipeline, small workload) -------
@@ -181,7 +210,7 @@ def main():
         "elements": M,
         "nodes": N,
         "element_type": "c3d10",
-        "operator": "packed(E_c=32, lane-gather Pallas)",
+        "operator": "packed(E_c=32, lane-gather Pallas, bucketed cinc)",
         "assembly_elements_per_s": elems_per_s,
         "cg_iters_per_s": cg_iters_per_s,
         "spmv_seconds": t_spmv,
@@ -208,28 +237,24 @@ def main():
         sX = jnp.asarray(sop.plan.pack_np(
             np.random.default_rng(0).standard_normal((sN, 3)
                                                      ).astype(np.float32)))
-        smake = _spmv_loop(3 * sk)
-        sa = _timed_scalar(smake(2), sop, sX, reps=2)
-        sb = _timed_scalar(smake(6), sop, sX, reps=2)
-        st = max((sb - sa) / 4, 1e-9)
+        st = _slope(_spmv_loop(3 * sk), (sop, sX), lo=2, hi=6, reps=2)
         ssys = PackedSystem(sop, fixed_nodes=meshgen.boundary_nodes(sc, 2, 0))
         sb_f = np.zeros((sN, 3), np.float32)
         sb_f[meshgen.boundary_nodes(sc, 2, 1.0), 2] = -1e3
 
-        def s_pcg(iters):
-            _, info = ssys.solve(sb_f, tol=0.0, max_iter=iters)
-            float(info.residual_norm)
-            t0 = time.perf_counter()
-            _, info = ssys.solve(sb_f, tol=0.0, max_iter=iters)
-            float(info.residual_norm)
-            return time.perf_counter() - t0
+        def make_s_pcg(iters):
+            def run(_marker):
+                _, info = ssys.solve(sb_f, tol=0.0, max_iter=iters)
+                assert int(info.iterations) == iters, "PCG exited early"
+                return info.residual_norm
+            return run
 
-        s1, s2 = s_pcg(3), s_pcg(13)
+        s_cg = _slope(make_s_pcg, ((),), lo=3, hi=13, reps=2)
         extras["scale"] = {
             "elements": sM, "nodes": sN,
             "spmv_nnz_per_s": sM * (3 * sk) ** 2 / st,
             "spmv_seconds": st,
-            "cg_iters_per_s": 10.0 / max(s2 - s1, 1e-9),
+            "cg_iters_per_s": 1.0 / s_cg,
             "mesh_seconds": t_mesh,
             "plan_build_seconds": t_build,
         }

@@ -62,12 +62,14 @@ def main():
         """Yc-stage pipeline truncated at `depth` (1=hop1 .. 4=compress)."""
         fl = opx.flags
         acc = jnp.float32(0.0)
-        for (s, nn, wk), nch in zip(m.c_groups, fl.cluster_chunks):
+        for gi, ((s, nn, wk), nch) in enumerate(zip(m.c_groups,
+                                                    fl.cluster_chunks)):
             if wk == 0 or nn == 0:
                 continue
             cc = nn // nch
 
-            def one(bs, nn2, wk=wk):
+            def one(loc, nn2, gi=gi, s=s, wk=wk):
+                bs = s + loc
                 sl = lambda a: jax.lax.dynamic_slice_in_dim(a, bs, nn2, 0)
                 Xw = Xp[sl(opx.plan.win_nodes)[:, :wk]]
                 if depth == 1:
@@ -85,14 +87,15 @@ def main():
                 if depth == 3:
                     return jnp.sum(fe3)
                 Fe = opx._planar_to_lanes(fe3, m.lanes)
-                ci = jax.lax.dynamic_slice_in_dim(opx.plan.cinc, bs, nn2, 0)
-                return jnp.sum(pk.compress_gather(Fe, ci, m.v_widths))
+                ci = jax.lax.dynamic_slice_in_dim(opx.plan.cinc[gi], loc,
+                                                  nn2, 0)
+                return jnp.sum(pk.compress_gather(Fe, ci, m.cv_widths[gi]))
 
             if nch == 1:
-                acc = acc + one(s, nn)
+                acc = acc + one(0, nn)
             else:
                 acc = acc + jax.lax.fori_loop(
-                    0, nch, lambda i, a, s=s, cc=cc: a + one(s + i * cc, cc),
+                    0, nch, lambda i, a, cc=cc: a + one(i * cc, cc),
                     jnp.float32(0.0))
         return acc
 

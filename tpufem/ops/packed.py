@@ -14,9 +14,10 @@ TPU tile model end to end:
   reads from few node-block rows (window Wn, measured max ~13 on c3d10
   boxes) and each node-block row receives from few clusters (window Wc,
   measured max ~30) — both gather volumes are slab-granular row gathers.
-* Expand and the cross-cluster combine run as Pallas lane-gather kernels
-  (exact, deterministic — ops.packed_kernels); the in-cluster compress is
-  an exact bf16x3-split one-hot MXU contraction.
+* Expand, the in-cluster compress (per-slot incidence lists, byte-packed
+  4 per int32 word) and the cross-cluster combine all run as Pallas
+  lane-gather kernels (exact in every dtype, deterministic, no MXU —
+  ops.packed_kernels).
 * The element compute is the partial-assembly (geometry-factor) action of
   ops.partial (J^-1 and w*detJ only — 10M-element 2nd-order meshes fit on
   one chip), evaluated in a fully dense `[3, k, B, E_c]` planar layout.
@@ -150,9 +151,11 @@ class _PackedMeta:
     # width in gather traffic and kernel loop trips (MAX-padding fix)
     c_groups: Tuple[Tuple[int, int, int], ...] = ()
     b_groups: Tuple[Tuple[int, int, int], ...] = ()
-    # per-128-lane-chunk widths of the compress incidence lists (static
-    # loop trip counts of the gather-compress kernel)
-    v_widths: Tuple[int, ...] = ()
+    # per-BUCKET per-128-lane-chunk widths of the compress incidence
+    # lists (static loop trip counts of the gather-compress kernel);
+    # aligned with c_groups — each cluster bucket streams and loops only
+    # its own widths (ADVICE r2)
+    cv_widths: Tuple[Tuple[int, ...], ...] = ()
 
 
 @jax.tree_util.register_dataclass
@@ -164,7 +167,9 @@ class PackedPlan:
     wslot: jnp.ndarray        # [B, 128] window index of slot (pad -> Wn)
     jslot: jnp.ndarray        # [B, 128] lane within window row
     lconn: jnp.ndarray        # [B, Rp] slot of each element lane
-    cinc: jnp.ndarray         # [B, sum(v_widths), 128] lane pos per slot (-1)
+    # per-bucket compress incidence: [n_g, ceil(sum(cv_widths[g])/4), 128]
+    # int32 words, 4 byte-packed lane+1 entries each (0 = unused)
+    cinc: Tuple[jnp.ndarray, ...]
     winc: jnp.ndarray         # [Nb, Wc] int32 cluster (pad -> B)
     slotidx: jnp.ndarray      # [Nb, Wc, 128] slot of node in cluster (-1)
     new_from_old: jnp.ndarray  # [N] int32
@@ -302,15 +307,23 @@ class PackedPlan:
         start = aidx[newg][np.cumsum(newg) - 1]
         vpos = aidx - start
         gs = (ks // 128) % Gch
-        v_widths = []
-        for g in range(Gch):
-            m_g = gs == g
-            v_widths.append(int(vpos[m_g].max()) + 1 if m_g.any() else 0)
-        voff = np.zeros(Gch, np.int64)
-        voff[1:] = np.cumsum(v_widths)[:-1]
-        Vsum = int(sum(v_widths))
-        cinc = np.full((B, max(Vsum, 1), 128), -1, np.int32)
-        cinc[vb2[cord], voff[gs] + vpos, ks % 128] = lp2[cord]
+        # per-(cluster, chunk) incidence widths (sorted run reduce); the
+        # per-BUCKET widths and byte-packed tables are built after the
+        # window bucketing below, once cluster buckets are known
+        run_starts = aidx[newg]
+        run_counts = np.diff(np.append(run_starts, ks.size))
+        run_bg = ks[newg] // 128                       # (b * Gch + g)
+        bg_new = np.ones(run_bg.size, bool)
+        bg_new[1:] = run_bg[1:] != run_bg[:-1]
+        bg_starts = np.nonzero(bg_new)[0]
+        wid_bg = np.zeros((B, Gch), np.int64)
+        if run_counts.size:
+            ub = run_bg[bg_starts]
+            wid_bg[ub // Gch, ub % Gch] = np.maximum.reduceat(run_counts,
+                                                              bg_starts)
+        ent_b = vb2[cord]
+        ent_slot = (ks % 128).astype(np.int64)
+        ent_lane = lp2[cord].astype(np.uint32)
 
         # node-block windows per cluster + per-slot source coordinates
         blk = np.where(l2g >= 0, l2g // BLK, -1)
@@ -394,16 +407,41 @@ class PackedPlan:
         wslot = wslot[cperm]
         jslot = jslot[cperm]
         lconn = lconn[cperm]
-        cinc = cinc[cperm]
         esrc = esrc[cperm]
         winc = np.where(winc < B, cpos[np.minimum(winc, B - 1)], B)
 
+        # per-bucket compress incidence tables, byte-packed 4 per int32
+        # (value = lane + 1, 0 = unused).  Each bucket's widths are the
+        # max over ITS clusters only, so low-valence buckets stream and
+        # loop only their own widths; the packing cuts table bytes 4x.
+        grp_of = np.zeros(B, np.int64)
+        for gi, (s, ng, _) in enumerate(c_groups):
+            grp_of[cperm[s:s + ng]] = gi
+        ent_grp = grp_of[ent_b]
+        cv_widths = []
+        cinc_groups = []
+        for gi, (s, ng, _) in enumerate(c_groups):
+            wid_g = (wid_bg[cperm[s:s + ng]].max(axis=0)
+                     if ng else np.zeros(Gch, np.int64))
+            cv_widths.append(tuple(int(x) for x in wid_g))
+            voff_g = np.zeros(Gch, np.int64)
+            voff_g[1:] = np.cumsum(wid_g)[:-1]
+            Wp = max(-(-int(wid_g.sum()) // 4), 1)
+            vals = np.zeros((ng, Wp * 4, 128), np.uint32)
+            me = ent_grp == gi
+            vals[cpos[ent_b[me]] - s, voff_g[gs[me]] + vpos[me],
+                 ent_slot[me]] = ent_lane[me] + 1
+            packed = (vals[:, 0::4] | (vals[:, 1::4] << 8)
+                      | (vals[:, 2::4] << 16) | (vals[:, 3::4] << 24))
+            cinc_groups.append(jnp.asarray(
+                np.ascontiguousarray(packed).view(np.int32)))
+
         meta = _PackedMeta(n_nodes, Nb, B, E_c, k, Rp, Wn, Wc,
-                           c_groups, b_groups, tuple(v_widths))
+                           c_groups, b_groups, tuple(cv_widths))
         i32 = lambda a: jnp.asarray(a.astype(np.int32))  # noqa: E731
         return PackedPlan(
             win_nodes=i32(win_nodes), wslot=i32(wslot), jslot=i32(jslot),
-            lconn=i32(lconn), cinc=i32(cinc), winc=i32(winc),
+            lconn=i32(lconn), cinc=tuple(cinc_groups), winc=i32(winc),
             slotidx=i32(slotidx),
             new_from_old=i32(new_from_old), old_from_new=i32(old_from_new),
             esrc=i32(esrc.reshape(-1)), meta=meta)
@@ -528,7 +566,6 @@ def pa_diag_planar(Jinv, W, dN, lam, mu):
 @dataclasses.dataclass(frozen=True)
 class _PackedFlags:
     interpret: bool = False
-    exact_dot: bool = False
     # per-bucket chunk counts (aligned with meta.c_groups / meta.b_groups):
     # each bucket's expand/compute/compress (resp. combine) runs in this
     # many fori_loop chunks so window gathers stay under the byte budget
@@ -565,7 +602,7 @@ class PackedPartialOperator:
               n_nodes: Optional[int] = None, rule: str = "default",
               plan: Optional[PackedPlan] = None, affine: Optional[bool] = None,
               dtype=None, elems_per_cluster: int = 32,
-              interpret: bool = False, exact_dot: Optional[bool] = None,
+              interpret: bool = False,
               chunk_budget_bytes: int = 1 << 30,
               window_buckets: int = 4) -> "PackedPartialOperator":
         from ..core.materials import lame_parameters
@@ -582,8 +619,6 @@ class PackedPartialOperator:
         m = plan.meta
         table = element_table(etype, rule)
         dtype = dtype or jnp.asarray(coords).dtype
-        if exact_dot is None:
-            exact_dot = jnp.dtype(dtype) == jnp.dtype(jnp.float64)
 
         esrc = np.asarray(plan.esrc)
         valid = esrc >= 0
@@ -607,12 +642,11 @@ class PackedPartialOperator:
         # process each bucket's clusters / node blocks in chunks that fit
         # the budget (bucket width sets the per-row gather bytes)
         itemsize = jnp.dtype(dtype).itemsize
-        cinc_row = sum(m.v_widths) * BLK * 4
         cchunks = tuple(
             _n_chunks(n, chunk_budget_bytes,
                       max(wk, 1) * ROW * itemsize + m.lanes * 3 * itemsize
-                      + cinc_row)
-            for (_, n, wk) in m.c_groups)
+                      + -(-sum(m.cv_widths[gi]) // 4) * BLK * 4)
+            for gi, (_, n, wk) in enumerate(m.c_groups))
         bchunks = tuple(
             _n_chunks(n, chunk_budget_bytes,
                       max(wk, 1) * (ROW * itemsize + BLK * 4))
@@ -620,7 +654,7 @@ class PackedPartialOperator:
         return PackedPartialOperator(
             Jinv=Jp, W=Wp, dN=_StaticTable.of(table.dN), plan=plan,
             lam_mu=(float(lam), float(mu)),
-            flags=_PackedFlags(interpret, bool(exact_dot), cchunks, bchunks))
+            flags=_PackedFlags(interpret, cchunks, bchunks))
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -638,12 +672,14 @@ class PackedPartialOperator:
             f = jnp.pad(f, ((0, 0), (0, 0), (0, Rp - k * E_c)))
         return f
 
-    def _yc_chunk(self, Xp, bs, n, wk):
-        """Slot sums for clusters [bs, bs+n) with window width wk."""
+    def _yc_chunk(self, Xp, gi, s, loc, n, wk):
+        """Slot sums for clusters [s+loc, s+loc+n) of bucket gi (window
+        width wk); `loc` is the chunk offset within the bucket."""
         from . import packed_kernels as pk
         fl = self.flags
         m = self.plan.meta
         lam, mu = self.lam_mu
+        bs = s + loc
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, bs, n, 0)  # noqa: E731
         lconn = sl(self.plan.lconn)
         Xw = Xp[sl(self.plan.win_nodes)[:, :wk]]           # [n, wk, 384]
@@ -654,7 +690,8 @@ class PackedPartialOperator:
         Wc = jax.lax.dynamic_slice_in_dim(self.W, bs, n, 1)
         fe3 = pa_apply_planar(ue3, Jc, Wc, self.dN.array, lam, mu)
         Fe = self._planar_to_lanes(fe3, m.lanes)
-        return pk.compress_gather(Fe, sl(self.plan.cinc), m.v_widths,
+        ci = jax.lax.dynamic_slice_in_dim(self.plan.cinc[gi], loc, n, 0)
+        return pk.compress_gather(Fe, ci, m.cv_widths[gi],
                                   interpret=fl.interpret)
 
     def _combine(self, Yc):
@@ -692,17 +729,18 @@ class PackedPartialOperator:
         m = self.plan.meta
         Xp = jnp.concatenate([X, jnp.zeros((1, ROW), X.dtype)], axis=0)
         Yc = jnp.zeros((m.n_clusters, ROW), X.dtype)
-        for (s, n, wk), nch in zip(m.c_groups, fl.cluster_chunks):
+        for gi, ((s, n, wk), nch) in enumerate(zip(m.c_groups,
+                                                   fl.cluster_chunks)):
             if wk == 0 or n == 0:      # pad-only clusters -> zero slot sums
                 continue
             if nch == 1:
                 Yc = jax.lax.dynamic_update_slice_in_dim(
-                    Yc, self._yc_chunk(Xp, s, n, wk), s, 0)
+                    Yc, self._yc_chunk(Xp, gi, s, 0, n, wk), s, 0)
             else:
                 cc = n // nch
 
-                def body(i, Yc, s=s, cc=cc, wk=wk):
-                    Ycc = self._yc_chunk(Xp, s + i * cc, cc, wk)
+                def body(i, Yc, gi=gi, s=s, cc=cc, wk=wk):
+                    Ycc = self._yc_chunk(Xp, gi, s, i * cc, cc, wk)
                     return jax.lax.dynamic_update_slice_in_dim(
                         Yc, Ycc, s + i * cc, 0)
 
@@ -716,27 +754,30 @@ class PackedPartialOperator:
         m = self.plan.meta
         lam, mu = self.lam_mu
 
-        def chunk(bs, n):
+        def chunk(gi, s, loc, n):
+            bs = s + loc
             Jc = jax.lax.dynamic_slice_in_dim(self.Jinv, bs, n, 2)
             Wc = jax.lax.dynamic_slice_in_dim(self.W, bs, n, 1)
             d3 = pa_diag_planar(Jc, Wc, self.dN.array, lam, mu)
             Fe = self._planar_to_lanes(d3, m.lanes)
-            cinc = jax.lax.dynamic_slice_in_dim(self.plan.cinc, bs, n, 0)
-            return pk.compress_gather(Fe, cinc, m.v_widths,
+            ci = jax.lax.dynamic_slice_in_dim(self.plan.cinc[gi], loc, n, 0)
+            return pk.compress_gather(Fe, ci, m.cv_widths[gi],
                                       interpret=fl.interpret)
 
         Yc = jnp.zeros((m.n_clusters, ROW), self.W.dtype)
-        for (s, n, wk), nch in zip(m.c_groups, fl.cluster_chunks):
+        for gi, ((s, n, wk), nch) in enumerate(zip(m.c_groups,
+                                                   fl.cluster_chunks)):
             if wk == 0 or n == 0:
                 continue
             if nch == 1:
-                Yc = jax.lax.dynamic_update_slice_in_dim(Yc, chunk(s, n), s, 0)
+                Yc = jax.lax.dynamic_update_slice_in_dim(
+                    Yc, chunk(gi, s, 0, n), s, 0)
             else:
                 cc = n // nch
 
-                def body(i, Yc, s=s, cc=cc):
+                def body(i, Yc, gi=gi, s=s, cc=cc):
                     return jax.lax.dynamic_update_slice_in_dim(
-                        Yc, chunk(s + i * cc, cc), s + i * cc, 0)
+                        Yc, chunk(gi, s, i * cc, cc), s + i * cc, 0)
 
                 Yc = jax.lax.fori_loop(0, nch, body, Yc)
         return self._combine(Yc)

@@ -9,13 +9,10 @@ Design facts measured on v5e (see PERFORMANCE.md and git log):
   the logical bytes.
 * Mosaic's 2-D dynamic gather (`jnp.take_along_axis` along lanes) is
   EXACT (measured bitwise vs numpy) and runs ~32 lanes/cycle — the
-  in-VMEM replacement for both the one-hot expand and the cross-cluster
-  combine, with zero MXU precision concerns.
-* One-hot MXU contractions with f32 data are only exact when the f32
-  operand is split into 3 bf16 terms (x = h1+h2+h3 exactly; products
-  against a 0/1 matrix are exact; f32 accumulate) — measured max abs err
-  0.0 vs 7.6e-3 for the default single-pass bf16 fold.  Used for the
-  in-cluster compress (a scatter-sum the gather unit cannot express).
+  in-VMEM mechanism for the expand, the in-cluster compress (transposed
+  per-slot incidence lists, see `compress_gather`) and the cross-cluster
+  combine.  No MXU anywhere in the operator, hence no MXU precision
+  concerns in any dtype.
 
 Pipeline (see ops.packed for the layout/plan construction):
 
@@ -23,12 +20,13 @@ Pipeline (see ops.packed for the layout/plan construction):
     expand_kernel:  slots Uc via masked lane-gather over windows,
                     then element lanes ue [B, 3, Rp] via slot lane-gather
     (partial-assembly compute in XLA, ops.packed.pa_apply_planar)
-    compress_kernel: Fe [B, 3, Rp] -> Yc [B, 384] (split3 one-hot MXU)
+    compress_gather: Fe [B, 3, Rp] -> Yc [B, 384] (per-slot incidence
+                    lane-gathers; incidence bytes packed 4-per-int32)
     Yc --(XLA row-gather of cluster windows)--> Ycw [Nb, Wc, 384]
     combine_kernel: masked lane-gather + fixed-order sum -> F [Nb, 384]
 
-Everything is deterministic: fixed window order, fixed matmul
-accumulation, no atomics.
+Everything is deterministic: fixed window order, fixed gather/sum
+order, no atomics.
 """
 from __future__ import annotations
 
@@ -110,111 +108,37 @@ def expand(xw, wslot, jslot, lconn, *, tile: int = 8,
 
 
 # ---------------------------------------------------------------------------
-# compress: element-lane values -> per-cluster slot sums (packed row)
-# ---------------------------------------------------------------------------
-
-def _split3_dot(x, onehot_bf16, exact_dot: bool):
-    """x [n, m, K] @ onehot [n, K, L] exactly (f32 via 3 bf16 terms).
-
-    The three split terms are stacked as extra ROWS of one dot_general
-    (m -> 3m) so the one-hot operand streams through the MXU once, not
-    three times — measured 3.4x on the compress stage (the dot cost is
-    dominated by streaming the [K, L] one-hot, not by the tiny row
-    count).  Exactness is unchanged: the same exact bf16x{0,1} products
-    are accumulated in f32 per row and the three term rows are added in
-    the same fixed order.
-    """
-    if exact_dot:
-        return jax.lax.dot_general(
-            x, onehot_bf16.astype(x.dtype),
-            (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=x.dtype,
-            precision=jax.lax.Precision.HIGHEST)
-    hs = []
-    r = x
-    for _ in range(3):
-        h = r.astype(jnp.bfloat16)
-        r = r - h.astype(jnp.float32)
-        hs.append(h)
-    x3 = jnp.concatenate(hs, axis=1)                    # [n, 3m, K]
-    y3 = jax.lax.dot_general(
-        x3, onehot_bf16, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)             # [n, 3m, L]
-    m = x.shape[1]
-    return y3[:, :m] + y3[:, m:2 * m] + y3[:, 2 * m:]
-
-
-def _compress_kernel(fe_ref, lconn_ref, out_ref, *, TB: int, Rp: int,
-                     exact_dot: bool):
-    """Yc[c, s] = sum_{r: lconn[r]==s} Fe[c, r] — one-hot MXU scatter-sum."""
-    lconn = lconn_ref[:]                                       # [TB, Rp]
-    iota_s = jax.lax.broadcasted_iota(jnp.int32, (TB, Rp, 128), 2)
-    oh = (lconn[:, :, None] == iota_s)
-    oh = oh.astype(fe_ref.dtype if exact_dot else jnp.bfloat16)
-    y = _split3_dot(fe_ref[:], oh, exact_dot)                  # [TB, 3, 128]
-    for c in range(3):  # per-lane-range writes (Mosaic cannot lane-concat
-        out_ref[:, c * 128:(c + 1) * 128] = (  # offset sublane slices)
-            y[:, c].astype(out_ref.dtype))
-
-
-def compress(fe, lconn, *, tile: int = 8, interpret: bool = False,
-             exact_dot: bool = False):
-    """Fe [B, 3, Rp] -> Yc [B, 384] (slot sums, packed row).
-
-    Pad lanes of lconn must point at an UNUSED slot (or any slot whose
-    Fe lanes are zero) — ops.packed routes them to slot sums of zero rows.
-    exact_dot=True uses a HIGHEST-precision dot instead of the bf16x3
-    split (for f64 / interpreter runs).
-    """
-    B, _, Rp = fe.shape
-    TB = tile
-    while B % TB:
-        TB //= 2
-    kern = functools.partial(_compress_kernel, TB=TB, Rp=Rp,
-                             exact_dot=exact_dot)
-    return pl.pallas_call(
-        kern,
-        grid=(B // TB,),
-        in_specs=[
-            pl.BlockSpec((TB, 3, Rp), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, Rp), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((TB, 384), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, 384), fe.dtype),
-        interpret=interpret,
-    )(fe, lconn)
-
-
-# ---------------------------------------------------------------------------
-# compress (gather form): per-slot incidence lists, no one-hot at all
+# compress: per-slot incidence lane-gathers (no one-hot, no MXU)
 # ---------------------------------------------------------------------------
 
 def _compress_gather_kernel(fe_ref, cinc_ref, out_ref, *, TB: int,
                             v_widths: tuple):
-    """Yc[c, s] = sum_v Fe[c, g*128 + cinc[off_g + v, s]] (cinc -1 = none).
+    """Yc[c, s] = sum_v Fe[c, g*128 + lane(off_g + v, s)] over incidence.
 
     cinc holds, for every slot s and each 128-lane chunk g of the element
     lanes, the lane positions (within chunk g) that scatter into s — a
-    transposed incidence list.  Replaces the one-hot MXU contraction: the
+    transposed incidence list, byte-packed 4 entries per int32 word
+    (byte value = lane + 1; 0 = unused; entry v lives in byte v % 4 of
+    word v // 4).  Replaces the one-hot MXU contraction: the
     iota/compare/convert build of the [Rp, 128] one-hot was the measured
     bottleneck of the whole SpMV (0.45 of 1.27 ms at 83k elements), while
     max real in-cluster valence is ~18 — the gather does only
-    sum(v_widths) masked 128-lane gathers per cluster.  Exact in every
-    dtype (pure adds, fixed v order), deterministic.
+    sum(v_widths) masked 128-lane gathers per cluster, and the byte
+    packing cuts the incidence table and its stream 4x (ADVICE r2).
+    Exact in every dtype (pure adds, fixed v order), deterministic.
     """
-    cinc = cinc_ref[:]                                  # [TB, Vsum, 128]
+    cinc = cinc_ref[:]                          # [TB, ceil(Vsum/4), 128] i32
     for c in range(3):
         acc = jnp.zeros((TB, 128), out_ref.dtype)
         off = 0
         for g, vg in enumerate(v_widths):
             src = fe_ref[:, c, g * 128:(g + 1) * 128]   # [TB, 128]
             for v in range(vg):
-                idx = cinc[:, off + v, :]
-                gth = _lane_gather(src, jnp.maximum(idx, 0))
-                acc = acc + jnp.where(idx >= 0, gth, 0.0)
+                vi = off + v
+                byte = jax.lax.shift_right_logical(
+                    cinc[:, vi // 4, :], jnp.int32(8 * (vi % 4))) & 0xFF
+                gth = _lane_gather(src, jnp.maximum(byte - 1, 0))
+                acc = acc + jnp.where(byte > 0, gth, 0.0)
             off += vg
         out_ref[:, c * 128:(c + 1) * 128] = acc
 
@@ -223,8 +147,11 @@ def compress_gather(fe, cinc, v_widths, *, tile: int = 8,
                     interpret: bool = False):
     """Fe [B, 3, Rp] -> Yc [B, 384] via per-slot incidence gathers.
 
-    cinc: [B, sum(v_widths), 128] int32 lane positions (-1 = unused);
-    v_widths: static per-128-lane-chunk list widths (see PackedPlan).
+    cinc: [B, ceil(sum(v_widths)/4), 128] int32, byte-packed lane+1
+    entries (0 = unused; see PackedPlan.build);
+    v_widths: static per-128-lane-chunk list widths for THIS bucket of
+    clusters (ops.packed keeps one incidence table per window bucket so
+    low-valence buckets pay only their own widths).
     """
     B, _, Rp = fe.shape
     TB = tile
