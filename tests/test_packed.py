@@ -93,6 +93,48 @@ def test_packed_cluster_invariants():
             assert s + n == s2
 
 
+def test_packed_cinc_decodes_to_lconn():
+    """The byte-packed per-bucket incidence tables are an exact transpose
+    of lconn: decoding every (bucket, cluster, chunk, v) entry recovers
+    each valid element lane exactly once, scattered to its lconn slot."""
+    coords, conn = meshgen.box_tet10(3, 3, 3)
+    N = coords.shape[0]
+    plan = PackedPlan.build(coords, conn, N)
+    m = plan.meta
+    k, E_c = m.nodes_per_elem, m.elems_per_cluster
+    kEc = k * E_c
+    lconn = np.asarray(plan.lconn)
+    esrc = np.asarray(plan.esrc).reshape(m.n_clusters, E_c)
+    assert len(plan.cinc) == len(m.c_groups) == len(m.cv_widths)
+    for gi, (s, ng, _) in enumerate(m.c_groups):
+        wid = m.cv_widths[gi]
+        Vsum = sum(wid)
+        words = np.asarray(plan.cinc[gi]).view(np.uint32)
+        assert words.shape[0] == ng
+        assert words.shape[1] == max(-(-Vsum // 4), 1)
+        # unpack bytes -> [ng, Wp*4, 128] lane+1 values
+        bytes_ = np.stack([(words >> (8 * i)) & 0xFF for i in range(4)],
+                          axis=2).reshape(ng, -1, 128)
+        voff = np.concatenate([[0], np.cumsum(wid)[:-1]])
+        for ci in range(ng):
+            got = set()
+            for g, vg in enumerate(wid):
+                for v in range(vg):
+                    row = bytes_[ci, voff[g] + v]
+                    for slot in np.nonzero(row)[0]:
+                        lane = g * 128 + int(row[slot]) - 1
+                        assert lane < kEc
+                        assert lconn[s + ci, lane] == slot
+                        got.add(lane)
+            # exactly the valid element lanes are present
+            ev = esrc[s + ci] >= 0                      # [E_c]
+            want = {kk * E_c + e for kk in range(k)
+                    for e in np.nonzero(ev)[0]}
+            assert got == want
+        # anything beyond Vsum rows is padding zeros
+        assert not bytes_[:, Vsum:].any()
+
+
 def test_packed_cg_solve():
     """End-to-end PCG in the packed layout matches the [N, 3] solve."""
     coords, conn = meshgen.box_tet10(3, 3, 3)
@@ -163,6 +205,54 @@ def test_packed_chunked_matches_unchunked():
                                np.asarray(op1.plan.unpack(op1.diagonal())),
                                rtol=1e-12)
     np.testing.assert_array_equal(F2p, np.asarray(op2(X2)))
+
+
+def test_block_diagonal_matches_assembled():
+    """op.block_diagonal() == node-block 3x3 diagonal of the assembled K."""
+    coords, conn = meshgen.box_tet10(3, 3, 3)
+    coords = _curve(coords)
+    N = coords.shape[0]
+    K = np.asarray(solid.stiffness(jnp.asarray(coords), jnp.asarray(conn),
+                                   "c3d10", E, NU))
+    k = conn.shape[1]
+    blocks = np.zeros((N, 3, 3))
+    for e in range(conn.shape[0]):
+        for i in range(k):
+            blocks[conn[e, i]] += K[e, 3 * i:3 * i + 3, 3 * i:3 * i + 3]
+    op = PackedPartialOperator.build(jnp.asarray(coords), conn, "c3d10",
+                                     E, NU, n_nodes=N, interpret=True)
+    D, O = op.block_diagonal()
+    got_d = np.asarray(op.plan.unpack(D))           # (00, 11, 22)
+    got_o = np.asarray(op.plan.unpack(O))           # (01, 02, 12)
+    want_d = np.stack([blocks[:, 0, 0], blocks[:, 1, 1], blocks[:, 2, 2]], 1)
+    want_o = np.stack([blocks[:, 0, 1], blocks[:, 0, 2], blocks[:, 1, 2]], 1)
+    np.testing.assert_allclose(got_d, want_d, rtol=1e-8,
+                               atol=1e-10 * np.abs(want_d).max())
+    np.testing.assert_allclose(got_o, want_o, rtol=1e-8,
+                               atol=1e-10 * np.abs(want_d).max())
+
+
+def test_block_jacobi_pcg():
+    """Block-Jacobi PCG reaches the same solution in fewer (or equal)
+    iterations than scalar Jacobi on the cantilever problem."""
+    from tpufem.ops.packed import PackedSystem
+    coords, conn = meshgen.box_tet10(3, 3, 6, 1.0, 1.0, 2.0)
+    N = coords.shape[0]
+    op = PackedPartialOperator.build(jnp.asarray(coords, jnp.float64), conn,
+                                     "c3d10", E, NU, n_nodes=N,
+                                     interpret=True)
+    fixed = meshgen.boundary_nodes(coords, 2, 0.0)
+    b = np.zeros((N, 3))
+    b[meshgen.boundary_nodes(coords, 2, 2.0), 0] = 1e3
+
+    sys_j = PackedSystem(op, fixed_nodes=fixed, precondition="jacobi")
+    sys_b = PackedSystem(op, fixed_nodes=fixed, precondition="block")
+    u_j, info_j = sys_j.solve(b, tol=1e-7, max_iter=4000)
+    u_b, info_b = sys_b.solve(b, tol=1e-7, max_iter=4000)
+    assert int(info_j.status) == 1 and int(info_b.status) == 1
+    np.testing.assert_allclose(np.asarray(u_b), np.asarray(u_j), rtol=1e-4,
+                               atol=1e-7 * np.abs(np.asarray(u_j)).max())
+    assert int(info_b.iterations) <= int(info_j.iterations)
 
 
 def test_packed_system_solve():

@@ -50,7 +50,9 @@ def cg(A: Callable, b, *, constraints: Optional[Constraints] = None,
       b: right-hand side [N, nd].
       constraints: optional Constraints; enforced like the reference
         (state set + residual projection after init and every update).
-      M_inv: optional Jacobi preconditioner array broadcastable to b.
+      M_inv: optional preconditioner — a Jacobi (diagonal) array
+        broadcastable to b, or a callable/pytree-callable r -> z
+        (e.g. ops.packed.BlockJacobi).
       tol: absolute tolerance on ||r|| (reference semantics).
       dot_dtype: accumulate the CG scalar recurrences in this dtype
         (e.g. jnp.float64 with x64 enabled) while vectors stay in b's
@@ -69,10 +71,17 @@ def cg(A: Callable, b, *, constraints: Optional[Constraints] = None,
         # relayouts [N, nd] tiles on TPU every iteration
         return jnp.sum(a.astype(ddt) * c.astype(ddt)).astype(dtype)
 
+    if M_inv is None:
+        apply_M = None
+    elif callable(M_inv):
+        apply_M = M_inv
+    else:
+        apply_M = lambda r: r * M_inv  # noqa: E731
+
     u0 = jnp.zeros_like(b) if x0 is None else x0.astype(dtype)
     u0 = set_state(u0)
     r0 = project(b - A(u0))
-    z0 = r0 * M_inv if M_inv is not None else r0
+    z0 = apply_M(r0) if apply_M is not None else r0
     p0 = z0
     rz0 = vdot(r0, z0)
 
@@ -97,7 +106,7 @@ def cg(A: Callable, b, *, constraints: Optional[Constraints] = None,
 
         u1 = set_state(u + alpha * p)
         r1 = project(r - alpha * Ap)
-        z1 = r1 * M_inv if M_inv is not None else r1
+        z1 = apply_M(r1) if apply_M is not None else r1
         rz1 = vdot(r1, z1)
         rnorm = jnp.sqrt(vdot(r1, r1).real)
         beta = rz1 / (rz + eps)
