@@ -135,6 +135,29 @@ def test_packed_cinc_decodes_to_lconn():
         assert not bytes_[:, Vsum:].any()
 
 
+def test_packed_plan_numpy_fallback_equal(monkeypatch):
+    """The native plan builders and the pure-numpy fallback produce
+    identical plans (every table bitwise equal)."""
+    import tpufem.native as native
+    coords, conn = meshgen.box_tet10(3, 3, 5)
+    coords = _curve(coords)
+    N = coords.shape[0]
+    p_nat = PackedPlan.build(coords, conn, N)
+    for fn in ("cluster_slots", "cluster_windows", "block_windows",
+               "cinc_widths", "cinc_fill_packed", "first_touch",
+               "radix_argsort", "unique_inverse_i64"):
+        monkeypatch.setattr(native, fn, lambda *a, **k: None)
+    p_np = PackedPlan.build(coords, conn, N)
+    assert p_nat.meta == p_np.meta
+    for name in ("win_nodes", "wslot", "jslot", "lconn", "winc", "slotidx",
+                 "new_from_old", "old_from_new", "esrc"):
+        np.testing.assert_array_equal(np.asarray(getattr(p_nat, name)),
+                                      np.asarray(getattr(p_np, name)),
+                                      err_msg=name)
+    for a, b in zip(p_nat.cinc, p_np.cinc):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_packed_cg_solve():
     """End-to-end PCG in the packed layout matches the [N, 3] solve."""
     coords, conn = meshgen.box_tet10(3, 3, 3)

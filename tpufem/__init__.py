@@ -9,6 +9,7 @@ extraction; mesh partitioning with multi-chip shard_map execution; and a
 hybrid direct+iterative subdomain solver.
 """
 
+from . import native as _native  # noqa: F401  (tunes malloc for host passes)
 from .core import materials, voigt
 from .core.dtypes import Precision, default_precision, enable_x64
 from .core.materials import elasticity_matrix, kirchhoff_D_matrix, lame_parameters

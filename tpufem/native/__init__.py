@@ -18,6 +18,29 @@ _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
 
 
+def _tune_malloc() -> None:
+    """Keep large numpy temporaries on the reused heap.
+
+    glibc mmap()s every allocation over 32 MB and munmap()s it on free, so
+    each large numpy temporary re-faults all of its pages; in this VM page
+    faults dominate the host preprocessing passes (measured: 2.2x on
+    PackedPlan.build at 1.3M elements, 48% system time in vmstat during
+    pure-numpy loops).  Raising M_MMAP_THRESHOLD / M_TRIM_THRESHOLD keeps
+    big buffers on the heap, faulted once and reused.  The heap then stays
+    grown (bounded by the largest transient working set) — the right trade
+    for preprocessing jobs.
+    """
+    try:
+        libc = ctypes.CDLL(None, use_errno=True)
+        libc.mallopt(ctypes.c_int(-3), ctypes.c_int(1 << 30))  # M_MMAP_THRESHOLD
+        libc.mallopt(ctypes.c_int(-1), ctypes.c_int(1 << 30))  # M_TRIM_THRESHOLD
+    except Exception:
+        pass
+
+
+_tune_malloc()
+
+
 def _build_dir() -> str:
     d = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_build")
     os.makedirs(d, exist_ok=True)
@@ -67,6 +90,28 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.first_touch_i32.restype = ctypes.c_int64
     lib.first_touch_i32.argtypes = [i32p, ctypes.c_int64, ctypes.c_int64,
                                     i32p]
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.cluster_slots.restype = ctypes.c_int32
+    lib.cluster_slots.argtypes = [i32p, ctypes.c_int64, ctypes.c_int32,
+                                  i32p, i32p]
+    lib.cluster_windows.restype = None
+    lib.cluster_windows.argtypes = [i32p, ctypes.c_int64, ctypes.c_int32,
+                                    ctypes.c_int32, i32p, i32p, i32p, i32p]
+    lib.block_windows_count.restype = None
+    lib.block_windows_count.argtypes = [i32p, ctypes.c_int64,
+                                        ctypes.c_int64, i32p]
+    lib.block_windows_fill.restype = None
+    lib.block_windows_fill.argtypes = [i32p, ctypes.c_int64, ctypes.c_int64,
+                                       ctypes.c_int32, i32p, i32p, i32p]
+    lib.cinc_widths.restype = None
+    lib.cinc_widths.argtypes = [i32p, u8p, ctypes.c_int64, ctypes.c_int32,
+                                ctypes.c_int32, ctypes.c_int32,
+                                ctypes.c_int32, i32p]
+    lib.cinc_fill_packed.restype = None
+    lib.cinc_fill_packed.argtypes = [i32p, u8p, i64p, ctypes.c_int64,
+                                     ctypes.c_int32, ctypes.c_int32,
+                                     ctypes.c_int32, ctypes.c_int32,
+                                     i64p, ctypes.c_int32, i32p]
     _LIB = lib
     return _LIB
 
@@ -203,3 +248,97 @@ def first_touch(flat: np.ndarray, n_nodes: int) -> Optional[np.ndarray]:
     rc = lib.first_touch_i32(_p(flat, ctypes.c_int32), flat.shape[0],
                              int(n_nodes), _p(out, ctypes.c_int32))
     return out if rc >= 0 else None
+
+
+def cinc_widths(lconn: np.ndarray, ev: np.ndarray, k: int, E_c: int,
+                Gch: int) -> Optional[np.ndarray]:
+    """Per-(cluster, lane-chunk) compress-incidence widths [B, Gch] int32;
+    None if native unavailable (ops.packed falls back to a key sort)."""
+    lib = _load()
+    if lib is None:
+        return None
+    lconn = np.ascontiguousarray(lconn, dtype=np.int32)
+    ev = np.ascontiguousarray(ev, dtype=np.uint8)
+    B, Rp = lconn.shape
+    out = np.empty((B, Gch), np.int32)
+    lib.cinc_widths(_p(lconn, ctypes.c_int32), _p(ev, ctypes.c_uint8),
+                    B, k, E_c, Rp, Gch, _p(out, ctypes.c_int32))
+    return out
+
+
+def cinc_fill_packed(lconn: np.ndarray, ev: np.ndarray,
+                     cluster_ids: np.ndarray, k: int, E_c: int, Gch: int,
+                     voff: np.ndarray, Wp: int) -> Optional[np.ndarray]:
+    """Byte-packed incidence words [ng, Wp, 128] int32 for one bucket;
+    None if native unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    lconn = np.ascontiguousarray(lconn, dtype=np.int32)
+    ev = np.ascontiguousarray(ev, dtype=np.uint8)
+    cluster_ids = np.ascontiguousarray(cluster_ids, dtype=np.int64)
+    voff = np.ascontiguousarray(voff, dtype=np.int64)
+    B, Rp = lconn.shape
+    ng = cluster_ids.shape[0]
+    out = np.zeros((ng, max(int(Wp), 1), 128), np.int32)
+    lib.cinc_fill_packed(_p(lconn, ctypes.c_int32), _p(ev, ctypes.c_uint8),
+                         _p(cluster_ids, ctypes.c_int64), ng, k, E_c, Rp,
+                         Gch, _p(voff, ctypes.c_int64), out.shape[1],
+                         _p(out, ctypes.c_int32))
+    return out
+
+
+def cluster_slots(gconn: np.ndarray):
+    """(l2g [B, 128], slot_of_entry [B, kEc], max_slots) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    gconn = np.ascontiguousarray(gconn, dtype=np.int32)
+    B, kEc = gconn.shape
+    l2g = np.empty((B, 128), np.int32)
+    so = np.empty((B, kEc), np.int32)
+    mx = lib.cluster_slots(_p(gconn, ctypes.c_int32), B, kEc,
+                           _p(l2g, ctypes.c_int32), _p(so, ctypes.c_int32))
+    return l2g, so, int(mx)
+
+
+def cluster_windows(l2g: np.ndarray, nb: int, wcap: int = 128):
+    """(win_full [B, wcap] pad nb, wn_cnt [B], wslot [B, 128] pad wcap,
+    jslot [B, 128]) or None.  Slice win_full/wslot to max(wn_cnt) and
+    rewrite the wslot pad afterwards."""
+    lib = _load()
+    if lib is None:
+        return None
+    l2g = np.ascontiguousarray(l2g, dtype=np.int32)
+    B = l2g.shape[0]
+    win_full = np.empty((B, wcap), np.int32)
+    wn_cnt = np.empty(B, np.int32)
+    wslot = np.empty((B, 128), np.int32)
+    jslot = np.empty((B, 128), np.int32)
+    lib.cluster_windows(_p(l2g, ctypes.c_int32), B, nb, wcap,
+                        _p(win_full, ctypes.c_int32),
+                        _p(wn_cnt, ctypes.c_int32),
+                        _p(wslot, ctypes.c_int32), _p(jslot, ctypes.c_int32))
+    return win_full, wn_cnt, wslot, jslot
+
+
+def block_windows(l2g: np.ndarray, nb: int):
+    """(winc [nb, Wc] pad B, slotidx [nb, Wc, 128] pad -1, wc_cnt [nb])
+    or None.  Deterministic: clusters ascending per block."""
+    lib = _load()
+    if lib is None:
+        return None
+    l2g = np.ascontiguousarray(l2g, dtype=np.int32)
+    B = l2g.shape[0]
+    wc_cnt = np.empty(nb, np.int32)
+    lib.block_windows_count(_p(l2g, ctypes.c_int32), B, nb,
+                            _p(wc_cnt, ctypes.c_int32))
+    wc = max(1, int(wc_cnt.max()) if nb else 1)
+    cursor = np.zeros(nb, np.int32)
+    winc = np.empty((nb, wc), np.int32)
+    slotidx = np.empty((nb, wc, 128), np.int32)
+    lib.block_windows_fill(_p(l2g, ctypes.c_int32), B, nb, wc,
+                           _p(cursor, ctypes.c_int32),
+                           _p(winc, ctypes.c_int32),
+                           _p(slotidx, ctypes.c_int32))
+    return winc, slotidx, wc_cnt

@@ -12,6 +12,7 @@
 //     100M+ index streams
 // Exposed with a plain C ABI for ctypes; all outputs deterministic.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -352,6 +353,182 @@ int64_t first_touch_i32(const int32_t* flat, int64_t n, int64_t n_nodes,
     if (new_from_old_out[v] < 0) new_from_old_out[v] = next++;
   }
   return next;
+}
+
+// Per-(cluster, lane-chunk) compress-incidence widths for the packed plan:
+// wid_out[b, g] = max over slots s of #{lanes r in chunk g of cluster b with
+// lconn[b, r] == s and element r % E_c real}.  One O(B * k * E_c) pass —
+// replaces a 13M+-entry key sort + run reduce in numpy (ops/packed.py).
+void cinc_widths(const int32_t* lconn, const uint8_t* ev, int64_t B,
+                 int32_t k, int32_t E_c, int32_t Rp, int32_t Gch,
+                 int32_t* wid_out) {
+  const int kEc = k * E_c;
+  std::vector<int32_t> cnt(static_cast<size_t>(Gch) * 128);
+  for (int64_t b = 0; b < B; ++b) {
+    std::fill(cnt.begin(), cnt.end(), 0);
+    const int32_t* lc = lconn + b * Rp;
+    const uint8_t* e = ev + b * E_c;
+    for (int r = 0; r < kEc; ++r) {
+      if (!e[r % E_c]) continue;
+      ++cnt[(r >> 7) * 128 + lc[r]];
+    }
+    for (int g = 0; g < Gch; ++g) {
+      int32_t w = 0;
+      for (int s = 0; s < 128; ++s)
+        if (cnt[g * 128 + s] > w) w = cnt[g * 128 + s];
+      wid_out[b * Gch + g] = w;
+    }
+  }
+}
+
+// Per-cluster slot construction for the packed plan: slots are the sorted
+// unique valid node ids of the cluster.  Writes l2g [B, 128] (-1 pad) and
+// slot_of_entry [B, kEc] (pad entries share the slot the -1s landed on: 0).
+// Replaces a [B, kEc] row sort + stable argsort + put_along_axis in numpy.
+// Returns the max slot count (caller checks the 128 budget).
+int32_t cluster_slots(const int32_t* gconn, int64_t B, int32_t kEc,
+                      int32_t* l2g_out, int32_t* slot_out) {
+  int32_t max_slots = 0;
+  std::vector<int32_t> buf(kEc);
+  for (int64_t b = 0; b < B; ++b) {
+    const int32_t* row = gconn + b * kEc;
+    std::memcpy(buf.data(), row, sizeof(int32_t) * kEc);
+    std::sort(buf.begin(), buf.end());
+    int32_t* l2g = l2g_out + b * 128;
+    int ns = 0;
+    int32_t prev = -1;
+    for (int i = 0; i < kEc; ++i) {
+      if (buf[i] < 0 || buf[i] == prev) continue;
+      prev = buf[i];
+      if (ns < 128) l2g[ns] = buf[i];
+      ++ns;
+    }
+    if (ns > max_slots) max_slots = ns;
+    for (int i = ns < 128 ? ns : 128; i < 128; ++i) l2g[i] = -1;
+    if (ns > 128) continue;  // overflow reported via return value
+    int32_t* so = slot_out + b * kEc;
+    for (int i = 0; i < kEc; ++i) {
+      if (row[i] < 0) {
+        so[i] = 0;
+        continue;
+      }
+      // binary search in the sorted slot list
+      int lo = 0, hi = ns - 1;
+      while (lo < hi) {
+        int mid = (lo + hi) >> 1;
+        if (l2g[mid] < row[i]) lo = mid + 1; else hi = mid;
+      }
+      so[i] = lo;
+    }
+  }
+  return max_slots;
+}
+
+// Cluster-side window tables from l2g: for each cluster, the sorted unique
+// node-block list (win_full, padded with `nb`), its length (wn_cnt), and
+// per-slot source coordinates (wslot = index into the window list, pad Wcap;
+// jslot = lane within the block row).  l2g slots are sorted by node id, so
+// blocks appear contiguously; one linear pass per cluster.
+void cluster_windows(const int32_t* l2g, int64_t B, int32_t nb,
+                     int32_t wcap, int32_t* win_full, int32_t* wn_cnt,
+                     int32_t* wslot, int32_t* jslot) {
+  for (int64_t b = 0; b < B; ++b) {
+    const int32_t* g = l2g + b * 128;
+    int32_t* wf = win_full + b * wcap;
+    int32_t* ws = wslot + b * 128;
+    int32_t* js = jslot + b * 128;
+    int nw = 0;
+    int32_t cur = -1;
+    for (int s = 0; s < 128; ++s) {
+      if (g[s] < 0) {
+        ws[s] = wcap;
+        js[s] = 0;
+        continue;
+      }
+      int32_t blk = g[s] >> 7;
+      if (blk != cur) {
+        cur = blk;
+        wf[nw++] = blk;
+      }
+      ws[s] = nw - 1;
+      js[s] = g[s] & 127;
+    }
+    for (int w = nw; w < wcap; ++w) wf[w] = nb;
+    wn_cnt[b] = nw;
+  }
+}
+
+// Block-side window tables: pass 1 counts clusters per node block
+// (wc_cnt [nb]); pass 2 (wc = max count known) fills winc [nb, wc] (pad B)
+// and slotidx [nb, wc, 128] (pad -1), clusters in ascending order per block
+// — the deterministic combine pull order.
+void block_windows_count(const int32_t* l2g, int64_t B, int64_t nb,
+                         int32_t* wc_cnt) {
+  for (int64_t i = 0; i < nb; ++i) wc_cnt[i] = 0;
+  for (int64_t b = 0; b < B; ++b) {
+    const int32_t* g = l2g + b * 128;
+    int32_t cur = -1;
+    for (int s = 0; s < 128; ++s) {
+      if (g[s] < 0) continue;
+      int32_t blk = g[s] >> 7;
+      if (blk != cur) {
+        cur = blk;
+        ++wc_cnt[blk];
+      }
+    }
+  }
+}
+
+void block_windows_fill(const int32_t* l2g, int64_t B, int64_t nb,
+                        int32_t wc, int32_t* cursor /* [nb] zeroed */,
+                        int32_t* winc_out, int32_t* slotidx_out) {
+  for (int64_t i = 0; i < nb * (int64_t)wc; ++i) winc_out[i] = (int32_t)B;
+  for (int64_t i = 0; i < nb * (int64_t)wc * 128; ++i) slotidx_out[i] = -1;
+  for (int64_t b = 0; b < B; ++b) {
+    const int32_t* g = l2g + b * 128;
+    int32_t cur = -1;
+    int64_t pos = -1;
+    for (int s = 0; s < 128; ++s) {
+      if (g[s] < 0) continue;
+      int32_t blk = g[s] >> 7;
+      if (blk != cur) {
+        cur = blk;
+        pos = cursor[blk]++;
+        winc_out[blk * (int64_t)wc + pos] = (int32_t)b;
+      }
+      slotidx_out[(blk * (int64_t)wc + pos) * 128 + (g[s] & 127)] =
+          (int32_t)s;
+    }
+  }
+}
+
+// Byte-packed incidence fill for one bucket of clusters: for every lane r
+// (ascending — deterministic within-slot order) of cluster cluster_ids[ci]
+// whose element is real, append lane%128 + 1 into the slot's list at
+// byte position v = voff[r >> 7] + (count so far), packed 4 per int32:
+//   out[ci, v/4, s] |= (r%128 + 1) << 8*(v%4)
+// `out` must be zero-initialized [ng, Wp, 128] int32.
+void cinc_fill_packed(const int32_t* lconn, const uint8_t* ev,
+                      const int64_t* cluster_ids, int64_t ng,
+                      int32_t k, int32_t E_c, int32_t Rp, int32_t Gch,
+                      const int64_t* voff, int32_t Wp, int32_t* out) {
+  const int kEc = k * E_c;
+  std::vector<int32_t> cnt(static_cast<size_t>(Gch) * 128);
+  for (int64_t ci = 0; ci < ng; ++ci) {
+    const int64_t b = cluster_ids[ci];
+    std::fill(cnt.begin(), cnt.end(), 0);
+    const int32_t* lc = lconn + b * Rp;
+    const uint8_t* e = ev + b * E_c;
+    int32_t* o = out + ci * static_cast<int64_t>(Wp) * 128;
+    for (int r = 0; r < kEc; ++r) {
+      if (!e[r % E_c]) continue;
+      const int g = r >> 7;
+      const int s = lc[r];
+      const int64_t v = voff[g] + cnt[g * 128 + s]++;
+      o[(v >> 2) * 128 + s] |=
+          static_cast<int32_t>((r & 127) + 1) << (8 * (v & 3));
+    }
+  }
 }
 
 }  // extern "C"

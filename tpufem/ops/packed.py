@@ -182,12 +182,25 @@ class PackedPlan:
     def build(coords, conn, n_nodes: int, elems_per_cluster: int = 32,
               order: Optional[np.ndarray] = None,
               window_buckets: int = 4) -> "PackedPlan":
+        import os
+        import time
+        prof = os.environ.get("TPUFEM_BUILD_PROFILE")
+        t_last = [time.perf_counter()]
+
+        def _tick(label):
+            if prof:
+                now = time.perf_counter()
+                print(f"  plan.build {label:16s} {now - t_last[0]:7.2f} s",
+                      flush=True)
+                t_last[0] = now
+
         conn = np.asarray(conn)
         coords = np.asarray(coords)
         M, k = conn.shape
         E_c = elems_per_cluster
         if order is None:
             order = morton_order(coords, conn)
+        _tick("morton")
         conn_m = conn[order].astype(np.int32)
 
         # clusters: E_c consecutive Morton elements; halve ranges whose
@@ -225,6 +238,7 @@ class PackedPlan:
         conn_c = np.where(maskj[:, :, None], conn_pad[idx], -1)
         esrc = np.where(maskj, order_pad[idx], -1).astype(np.int32)
         B = Bpad
+        _tick("clusters")
 
         # first-touch node numbering (cluster-major)
         flat = conn_c.reshape(-1)
@@ -250,28 +264,38 @@ class PackedPlan:
         old_from_new = np.full(Npad, -1, np.int64)
         old_from_new[new_from_old] = np.arange(n_nodes)
 
+        _tick("first-touch")
         gconn = np.where(conn_c >= 0, new_from_old[np.maximum(conn_c, 0)], -1)
 
-        # per-cluster slots (sorted by new node id — deterministic)
+        # per-cluster slots (sorted by new node id — deterministic);
+        # native per-cluster sort+unique+binary-search, numpy fallback
         rows = gconn.reshape(B, E_c * k)
-        srt = np.sort(rows, axis=1)
-        first = np.ones_like(srt, dtype=bool)
-        first[:, 1:] = srt[:, 1:] != srt[:, :-1]
-        first &= srt >= 0
-        n_slots = first.sum(axis=1)
-        if int(n_slots.max()) > L_SLOTS:
-            raise ValueError("cluster slot overflow after splitting; "
-                             "lower elems_per_cluster")
-        l2g = np.full((B, L_SLOTS), -1, np.int32)
-        bidx = np.broadcast_to(np.arange(B)[:, None], srt.shape)
-        slot_of_sorted = np.cumsum(first, axis=1) - 1
-        l2g[bidx[first], slot_of_sorted[first]] = srt[first]
-        # slot of every (b, position): match each row entry to its slot
-        order_in_row = np.argsort(rows, axis=1, kind="stable")
-        slot_flat = np.zeros_like(rows)
-        # sorted positions -> slot ids (invalid entries share slot of -1s)
-        slot_sorted = np.maximum(slot_of_sorted, 0)
-        np.put_along_axis(slot_flat, order_in_row, slot_sorted, axis=1)
+        from .. import native as _nat
+        _slots = _nat.cluster_slots(rows)
+        if _slots is not None:
+            l2g, slot_flat, mx = _slots
+            if mx > L_SLOTS:
+                raise ValueError("cluster slot overflow after splitting; "
+                                 "lower elems_per_cluster")
+        else:
+            srt = np.sort(rows, axis=1)
+            first = np.ones_like(srt, dtype=bool)
+            first[:, 1:] = srt[:, 1:] != srt[:, :-1]
+            first &= srt >= 0
+            n_slots = first.sum(axis=1)
+            if int(n_slots.max()) > L_SLOTS:
+                raise ValueError("cluster slot overflow after splitting; "
+                                 "lower elems_per_cluster")
+            l2g = np.full((B, L_SLOTS), -1, np.int32)
+            bidx = np.broadcast_to(np.arange(B)[:, None], srt.shape)
+            slot_of_sorted = np.cumsum(first, axis=1) - 1
+            l2g[bidx[first], slot_of_sorted[first]] = srt[first]
+            # slot of every (b, position): match each row entry to its slot
+            order_in_row = np.argsort(rows, axis=1, kind="stable")
+            slot_flat = np.zeros_like(rows)
+            # sorted positions -> slot ids (invalid entries share the -1s')
+            slot_sorted = np.maximum(slot_of_sorted, 0)
+            np.put_along_axis(slot_flat, order_in_row, slot_sorted, axis=1)
         slot_of_entry = slot_flat.reshape(B, E_c, k)        # [B, E_c, k]
 
         # element-lane slot table, kk-major: r = kk * E_c + e
@@ -280,117 +304,141 @@ class PackedPlan:
         lconn[:, : k * E_c] = np.transpose(slot_of_entry, (0, 2, 1)
                                            ).reshape(B, k * E_c)
 
+        _tick("slots")
         # compress incidence lists (transposed lconn): for every slot and
         # each 128-lane chunk g of the element lanes, the lane positions
         # that scatter into it.  Pad-element lanes are excluded (their Fe
         # is zero); order within a slot is ascending lane — deterministic.
+        # The per-(cluster, chunk) WIDTHS are computed here; the per-bucket
+        # byte-packed tables after the window bucketing below.  Native
+        # single-pass builder (meshops.cinc_widths); key-sort fallback.
         kEc = k * E_c
         Gch = -(-kEc // 128)
         ev = esrc >= 0                              # [B, E_c]
-        lane_valid = np.tile(ev, (1, k))            # lane r = kk*E_c + e
-        vb2, vr2 = np.nonzero(lane_valid)
-        sl2 = lconn[:, :kEc][vb2, vr2].astype(np.int64)
-        g2 = vr2 // 128
-        lp2 = (vr2 % 128).astype(np.int32)
-        ckey = ((vb2 * Gch + g2) * 128 + sl2).astype(np.int64)
         from .. import native
-        if ckey.size and ckey.max() < np.iinfo(np.int32).max:
-            cord = native.radix_argsort(ckey.astype(np.int32))
-            if cord is None:
-                cord = np.argsort(ckey, kind="stable")
-        else:
+        wid_bg = native.cinc_widths(lconn, ev, k, E_c, Gch)
+        _np_inc = wid_bg is None
+        if _np_inc:
+            lane_valid = np.tile(ev, (1, k))        # lane r = kk*E_c + e
+            vb2, vr2 = np.nonzero(lane_valid)
+            sl2 = lconn[:, :kEc][vb2, vr2].astype(np.int64)
+            g2 = vr2 // 128
+            lp2 = (vr2 % 128).astype(np.int32)
+            ckey = ((vb2 * Gch + g2) * 128 + sl2).astype(np.int64)
             cord = np.argsort(ckey, kind="stable")
-        ks = ckey[cord]
-        newg = np.ones(ks.size, bool)
-        newg[1:] = ks[1:] != ks[:-1]
-        aidx = np.arange(ks.size, dtype=np.int64)
-        start = aidx[newg][np.cumsum(newg) - 1]
-        vpos = aidx - start
-        gs = (ks // 128) % Gch
-        # per-(cluster, chunk) incidence widths (sorted run reduce); the
-        # per-BUCKET widths and byte-packed tables are built after the
-        # window bucketing below, once cluster buckets are known
-        run_starts = aidx[newg]
-        run_counts = np.diff(np.append(run_starts, ks.size))
-        run_bg = ks[newg] // 128                       # (b * Gch + g)
-        bg_new = np.ones(run_bg.size, bool)
-        bg_new[1:] = run_bg[1:] != run_bg[:-1]
-        bg_starts = np.nonzero(bg_new)[0]
-        wid_bg = np.zeros((B, Gch), np.int64)
-        if run_counts.size:
-            ub = run_bg[bg_starts]
-            wid_bg[ub // Gch, ub % Gch] = np.maximum.reduceat(run_counts,
-                                                              bg_starts)
-        ent_b = vb2[cord]
-        ent_slot = (ks % 128).astype(np.int64)
-        ent_lane = lp2[cord].astype(np.uint32)
-
-        # node-block windows per cluster + per-slot source coordinates
-        blk = np.where(l2g >= 0, l2g // BLK, -1)
-        bsort = np.sort(blk, axis=1)
-        bfirst = np.ones_like(bsort, dtype=bool)
-        bfirst[:, 1:] = bsort[:, 1:] != bsort[:, :-1]
-        bfirst &= bsort >= 0
-        Wn = int(bfirst.sum(axis=1).max()) if B else 1
-        Wn = max(Wn, 1)
-        win_nodes = np.full((B, Wn), Nb, np.int32)          # pad -> zero row
-        # vectorized window fill: emit (b, block) unique pairs in block order
-        bidx2 = np.broadcast_to(np.arange(B)[:, None], bsort.shape)
-        pair_b = bidx2[bfirst]
-        pair_blk = bsort[bfirst]
-        pos_in_b = (np.cumsum(bfirst, axis=1) - 1)[bfirst]
-        win_nodes[pair_b, pos_in_b] = pair_blk
-        # per-slot source coordinates: window index of the slot's block
-        # (rows of win_nodes are block-sorted; Wn is tiny, so a broadcast
-        # equality match is cheap and vectorized)
-        wslot = np.full((B, L_SLOTS), Wn, np.int32)
-        jslot = np.zeros((B, L_SLOTS), np.int32)
-        vb, vs = np.nonzero(l2g >= 0)
-        g = l2g[vb, vs]
-        # window index of each slot's block: win_nodes rows are sorted and
-        # row bases strictly increase, so one global searchsorted suffices
-        win_flat = (win_nodes
-                    + np.arange(B, dtype=np.int64)[:, None] * (Nb + 2)
-                    ).ravel()
-        w = (np.searchsorted(win_flat, vb * np.int64(Nb + 2) + g // BLK)
-             - vb * Wn)
-        wslot[vb, vs] = w
-        jslot[vb, vs] = g % BLK
-
-        # cluster windows per node-block + slot index of each node
-        jblk = g // BLK
-        key_all = jblk * np.int64(B + 1) + vb
-        nat = native.unique_inverse_i64(key_all) if key_all.size else None
-        if nat is not None:
-            key, w_of_pair = nat
+            ks = ckey[cord]
+            newg = np.ones(ks.size, bool)
+            newg[1:] = ks[1:] != ks[:-1]
+            aidx = np.arange(ks.size, dtype=np.int64)
+            start = aidx[newg][np.cumsum(newg) - 1]
+            vpos = aidx - start
+            gs = (ks // 128) % Gch
+            run_starts = aidx[newg]
+            run_counts = np.diff(np.append(run_starts, ks.size))
+            run_bg = ks[newg] // 128                   # (b * Gch + g)
+            bg_new = np.ones(run_bg.size, bool)
+            bg_new[1:] = run_bg[1:] != run_bg[:-1]
+            bg_starts = np.nonzero(bg_new)[0]
+            wid_bg = np.zeros((B, Gch), np.int64)
+            if run_counts.size:
+                ub = run_bg[bg_starts]
+                wid_bg[ub // Gch, ub % Gch] = np.maximum.reduceat(
+                    run_counts, bg_starts)
+            ent_b = vb2[cord]
+            ent_slot = (ks % 128).astype(np.int64)
+            ent_lane = lp2[cord].astype(np.uint32)
+        _tick("inc-widths")
+        # node-block windows per cluster + per-slot source coordinates;
+        # native linear pass over the (node-sorted) slot lists, fallback
+        # = vectorized numpy (same outputs, tested equal)
+        _cw = native.cluster_windows(l2g, Nb)
+        if _cw is not None:
+            win_full, wn_cnt32, wslot, jslot = _cw
+            wn_cnt = wn_cnt32.astype(np.int64)
+            Wn = max(int(wn_cnt.max()) if B else 1, 1)
+            win_nodes = np.ascontiguousarray(win_full[:, :Wn])
+            wslot = np.where(wslot == 128, Wn, wslot).astype(np.int32)
+            _bw = native.block_windows(l2g, Nb)
+            assert _bw is not None
+            winc, slotidx, wc_cnt32 = _bw
+            wc_cnt = wc_cnt32.astype(np.int64)
+            Wc = winc.shape[1]
         else:
-            key, w_of_pair = np.unique(key_all, return_inverse=True)
-        up_blk = (key // (B + 1)).astype(np.int64)
-        up_cl = (key % (B + 1)).astype(np.int64)
-        Wc = int(np.bincount(up_blk, minlength=Nb).max()) if key.size else 1
-        Wc = max(Wc, 1)
-        winc = np.full((Nb, Wc), B, np.int32)               # pad -> zero row
-        # emission order: sorted by (block, cluster) — deterministic
-        srt_blocks, blk_starts = np.unique(up_blk, return_index=True)
-        pos = np.arange(key.size) - blk_starts[
-            np.searchsorted(srt_blocks, up_blk)]
-        winc[up_blk, pos] = up_cl
-        # map each (slot, node) to its (block, window) cell
-        slotidx = np.full((Nb, Wc, BLK), -1, np.int32)
-        slotidx[jblk, pos[w_of_pair], g % BLK] = vs
+            blk = np.where(l2g >= 0, l2g // BLK, -1)
+            bsort = np.sort(blk, axis=1)
+            bfirst = np.ones_like(bsort, dtype=bool)
+            bfirst[:, 1:] = bsort[:, 1:] != bsort[:, :-1]
+            bfirst &= bsort >= 0
+            wn_cnt = bfirst.sum(axis=1).astype(np.int64)
+            Wn = int(wn_cnt.max()) if B else 1
+            Wn = max(Wn, 1)
+            win_nodes = np.full((B, Wn), Nb, np.int32)      # pad -> zero row
+            # window fill: emit (b, block) unique pairs in block order
+            bidx2 = np.broadcast_to(np.arange(B)[:, None], bsort.shape)
+            pair_b = bidx2[bfirst]
+            pair_blk = bsort[bfirst]
+            pos_in_b = (np.cumsum(bfirst, axis=1) - 1)[bfirst]
+            win_nodes[pair_b, pos_in_b] = pair_blk
+            # per-slot source coordinates: window index of the slot's block
+            wslot = np.full((B, L_SLOTS), Wn, np.int32)
+            jslot = np.zeros((B, L_SLOTS), np.int32)
+            vb, vs = np.nonzero(l2g >= 0)
+            g = l2g[vb, vs]
+            # win_nodes rows are sorted and row bases strictly increase, so
+            # one global searchsorted suffices
+            win_flat = (win_nodes
+                        + np.arange(B, dtype=np.int64)[:, None] * (Nb + 2)
+                        ).ravel()
+            w = (np.searchsorted(win_flat, vb * np.int64(Nb + 2) + g // BLK)
+                 - vb * Wn)
+            wslot[vb, vs] = w
+            jslot[vb, vs] = g % BLK
 
+            # cluster windows per node-block + slot index of each node
+            jblk = g // BLK
+            key_all = jblk * np.int64(B + 1) + vb
+            nat = (native.unique_inverse_i64(key_all) if key_all.size
+                   else None)
+            if nat is not None:
+                key, w_of_pair = nat
+            else:
+                key, w_of_pair = np.unique(key_all, return_inverse=True)
+            up_blk = (key // (B + 1)).astype(np.int64)
+            up_cl = (key % (B + 1)).astype(np.int64)
+            wc_cnt = np.bincount(up_blk, minlength=Nb).astype(np.int64)
+            Wc = int(wc_cnt.max()) if key.size else 1
+            Wc = max(Wc, 1)
+            winc = np.full((Nb, Wc), B, np.int32)           # pad -> zero row
+            # emission order: sorted by (block, cluster) — deterministic
+            srt_blocks, blk_starts = np.unique(up_blk, return_index=True)
+            pos = np.arange(key.size) - blk_starts[
+                np.searchsorted(srt_blocks, up_blk)]
+            winc[up_blk, pos] = up_cl
+            # map each (slot, node) to its (block, window) cell
+            slotidx = np.full((Nb, Wc, BLK), -1, np.int32)
+            slotidx[jblk, pos[w_of_pair], g % BLK] = vs
+
+        _tick("windows")
         # --- window bucketing (MAX-padding fix) --------------------------
         # Sort clusters by their node-window count and node blocks by their
         # cluster-window count (stable: Morton / first-touch order kept
         # within equal counts).  The block permutation is absorbed into the
         # node numbering so every packed vector lives in bucket order; the
         # cluster permutation is absorbed into the plan tables and winc.
-        wn_cnt = bfirst.sum(axis=1).astype(np.int64)          # [B]
-        wc_cnt = np.bincount(up_blk, minlength=Nb).astype(np.int64)
-        cperm = np.argsort(wn_cnt, kind="stable")
-        bperm = np.argsort(wc_cnt, kind="stable")
-        c_groups = _bucket_groups(wn_cnt[cperm], window_buckets)
-        b_groups = _bucket_groups(wc_cnt[bperm], window_buckets)
+        if window_buckets == 0:
+            # no reordering (window_buckets=0): clusters stay Morton-ordered
+            # and blocks stay in first-touch order — required by the
+            # distributed operator (parallel.packed_dist), whose devices own
+            # CONTIGUOUS cluster/block ranges; one max-width group each
+            cperm = np.arange(B)
+            bperm = np.arange(Nb)
+            c_groups = ((0, B, int(wn_cnt.max()) if B else 0),)
+            b_groups = ((0, Nb, int(wc_cnt.max()) if Nb else 0),)
+        else:
+            cperm = np.argsort(wn_cnt, kind="stable")
+            bperm = np.argsort(wc_cnt, kind="stable")
+            c_groups = _bucket_groups(wn_cnt[cperm], window_buckets)
+            b_groups = _bucket_groups(wc_cnt[bperm], window_buckets)
         cpos = np.empty(B, np.int64)
         cpos[cperm] = np.arange(B)
         bpos = np.empty(Nb, np.int64)
@@ -410,32 +458,44 @@ class PackedPlan:
         esrc = esrc[cperm]
         winc = np.where(winc < B, cpos[np.minimum(winc, B - 1)], B)
 
+        _tick("bucketing")
         # per-bucket compress incidence tables, byte-packed 4 per int32
         # (value = lane + 1, 0 = unused).  Each bucket's widths are the
         # max over ITS clusters only, so low-valence buckets stream and
         # loop only their own widths; the packing cuts table bytes 4x.
-        grp_of = np.zeros(B, np.int64)
-        for gi, (s, ng, _) in enumerate(c_groups):
-            grp_of[cperm[s:s + ng]] = gi
-        ent_grp = grp_of[ent_b]
+        if _np_inc:
+            grp_of = np.zeros(B, np.int64)
+            for gi, (s, ng, _) in enumerate(c_groups):
+                grp_of[cperm[s:s + ng]] = gi
+            ent_grp = grp_of[ent_b]
+        ev_perm = esrc >= 0                # esrc is already bucket-ordered
         cv_widths = []
         cinc_groups = []
         for gi, (s, ng, _) in enumerate(c_groups):
-            wid_g = (wid_bg[cperm[s:s + ng]].max(axis=0)
+            wid_g = (wid_bg[cperm[s:s + ng]].astype(np.int64).max(axis=0)
                      if ng else np.zeros(Gch, np.int64))
             cv_widths.append(tuple(int(x) for x in wid_g))
             voff_g = np.zeros(Gch, np.int64)
             voff_g[1:] = np.cumsum(wid_g)[:-1]
             Wp = max(-(-int(wid_g.sum()) // 4), 1)
-            vals = np.zeros((ng, Wp * 4, 128), np.uint32)
-            me = ent_grp == gi
-            vals[cpos[ent_b[me]] - s, voff_g[gs[me]] + vpos[me],
-                 ent_slot[me]] = ent_lane[me] + 1
-            packed = (vals[:, 0::4] | (vals[:, 1::4] << 8)
-                      | (vals[:, 2::4] << 16) | (vals[:, 3::4] << 24))
-            cinc_groups.append(jnp.asarray(
-                np.ascontiguousarray(packed).view(np.int32)))
+            if not _np_inc:
+                # lconn/esrc are already permuted: bucket rows = [s, s+ng)
+                packed = native.cinc_fill_packed(
+                    lconn, ev_perm, np.arange(s, s + ng), k, E_c, Gch,
+                    voff_g, Wp)
+                assert packed is not None
+            else:
+                vals = np.zeros((ng, Wp * 4, 128), np.uint32)
+                me = ent_grp == gi
+                vals[cpos[ent_b[me]] - s, voff_g[gs[me]] + vpos[me],
+                     ent_slot[me]] = ent_lane[me] + 1
+                packed = np.ascontiguousarray(
+                    vals[:, 0::4] | (vals[:, 1::4] << 8)
+                    | (vals[:, 2::4] << 16)
+                    | (vals[:, 3::4] << 24)).view(np.int32)
+            cinc_groups.append(jnp.asarray(packed))
 
+        _tick("cinc-pack")
         meta = _PackedMeta(n_nodes, Nb, B, E_c, k, Rp, Wn, Wc,
                            c_groups, b_groups, tuple(cv_widths))
         i32 = lambda a: jnp.asarray(a.astype(np.int32))  # noqa: E731
