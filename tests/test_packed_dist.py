@@ -65,6 +65,47 @@ def test_packed_dist_interior_split_nontrivial():
     assert ((win < m.Nbp) | (win == m.Nbp + m.Gx)).all()
 
 
+def test_packed_dist_block_jacobi():
+    """Distributed block-Jacobi PCG: same solution, <= iterations vs the
+    distributed scalar Jacobi, and the block planes match the
+    single-device operator's."""
+    from tpufem.ops.packed import BlockJacobi
+    coords, conn = meshgen.box_tet10(3, 3, 6, 1.0, 1.0, 2.0)
+    N = coords.shape[0]
+    fixed = meshgen.boundary_nodes(coords, 2, 0.0)
+    b = np.zeros((N, 3))
+    b[meshgen.boundary_nodes(coords, 2, 2.0), 0] = 1e3
+    mesh = make_mesh_1d(4)
+    fem_j, part = build_packed_halo_fem(coords, conn, "c3d10", E, NU,
+                                        mesh=mesh, fixed_nodes=fixed,
+                                        precondition="jacobi")
+    fem_b, _ = build_packed_halo_fem(coords, conn, "c3d10", E, NU,
+                                     mesh=mesh, fixed_nodes=fixed,
+                                     precondition="block")
+    bX = jnp.asarray(part.pack_np(b))
+    u_j, info_j = fem_j.pcg(bX, tol=1e-8, max_iter=4000)
+    u_b, info_b = fem_b.pcg(bX, tol=1e-8, max_iter=4000)
+    assert int(info_j.status) == 1 and int(info_b.status) == 1
+    assert int(info_b.iterations) <= int(info_j.iterations)
+    np.testing.assert_allclose(part.unpack_np(np.asarray(u_b)),
+                               part.unpack_np(np.asarray(u_j)), rtol=1e-4,
+                               atol=1e-7 * np.abs(np.asarray(u_j)).max())
+    # distributed block planes == single-device BlockJacobi's (unpacked)
+    op1 = PackedPartialOperator.build(jnp.asarray(coords), conn, "c3d10",
+                                      E, NU, n_nodes=N, interpret=True)
+    mask_n = np.ones((N, 3))
+    mask_n[fixed] = 0.0
+    bj = BlockJacobi.build(op1, mask=op1.plan.pack(jnp.asarray(mask_n)))
+    inv_d, inv_o = fem_b.M_inv
+    np.testing.assert_allclose(
+        part.unpack_np(np.asarray(inv_d)),
+        np.asarray(op1.plan.unpack(bj.inv_d)), rtol=1e-9, atol=1e-24)
+    np.testing.assert_allclose(
+        part.unpack_np(np.asarray(inv_o)),
+        np.asarray(op1.plan.unpack(bj.inv_o)), rtol=1e-9,
+        atol=1e-12 * np.abs(np.asarray(bj.inv_o)).max())
+
+
 def test_packed_dist_pcg_matches_dense_reference():
     from tpufem.elements import solid
     from tpufem.ops.operator import MatrixFreeOperator

@@ -923,6 +923,62 @@ class PackedPartialOperator:
 # block-Jacobi preconditioner (3x3 node blocks, packed layout)
 # ---------------------------------------------------------------------------
 
+def invert_block_planes(D, O, mask=None):
+    """Packed 3x3 node-block planes -> inverse planes.
+
+    D [*, 384] holds (d00, d11, d22), O holds (d01, d02, d12).  Closed-form
+    symmetric adjugate/det inverse per node; singular blocks fall back to
+    the scalar-Jacobi diagonal.  With `mask` (0/1 packed field), masked
+    DOFs are decoupled BEFORE inversion (row/col dropped) and the inverse
+    rows are zeroed after — the inverse of the constrained block.
+    Returns (inv_d, inv_o) with the same plane layout.
+    """
+    a, b, c = D[..., :BLK], D[..., BLK:2 * BLK], D[..., 2 * BLK:]
+    d, e, f = O[..., :BLK], O[..., BLK:2 * BLK], O[..., 2 * BLK:]
+    if mask is not None:
+        m0, m1, m2 = (mask[..., :BLK], mask[..., BLK:2 * BLK],
+                      mask[..., 2 * BLK:])
+        d = d * m0 * m1
+        e = e * m0 * m2
+        f = f * m1 * m2
+    cof00 = b * c - f * f
+    cof01 = e * f - d * c
+    cof02 = d * f - b * e
+    det = a * cof00 + d * cof01 + e * cof02
+    safe = jnp.isfinite(det) & (jnp.abs(det) > 0)
+    inv_det = jnp.where(safe, 1.0 / jnp.where(safe, det, 1.0), 0.0)
+
+    def scal(x):         # scalar-Jacobi fallback for singular blocks
+        return jnp.where(jnp.abs(x) > 0, 1.0 / jnp.where(x == 0, 1.0, x),
+                         0.0)
+
+    i00 = jnp.where(safe, cof00 * inv_det, scal(a))
+    i11 = jnp.where(safe, (a * c - e * e) * inv_det, scal(b))
+    i22 = jnp.where(safe, (a * b - d * d) * inv_det, scal(c))
+    i01 = jnp.where(safe, cof01 * inv_det, 0.0)
+    i02 = jnp.where(safe, cof02 * inv_det, 0.0)
+    i12 = jnp.where(safe, (d * e - a * f) * inv_det, 0.0)
+    inv_d = jnp.concatenate([i00, i11, i22], axis=-1)
+    inv_o = jnp.concatenate([i01, i02, i12], axis=-1)
+    if mask is not None:
+        inv_d = inv_d * mask
+        inv_o = inv_o * mask
+    return inv_d, inv_o
+
+
+def block_apply(inv_d, inv_o, r):
+    """z = B^{-1} r per node on packed planes (three dense passes)."""
+    r0, r1, r2 = r[..., :BLK], r[..., BLK:2 * BLK], r[..., 2 * BLK:]
+    i00, i11, i22 = (inv_d[..., :BLK], inv_d[..., BLK:2 * BLK],
+                     inv_d[..., 2 * BLK:])
+    i01, i02, i12 = (inv_o[..., :BLK], inv_o[..., BLK:2 * BLK],
+                     inv_o[..., 2 * BLK:])
+    z0 = i00 * r0 + i01 * r1 + i02 * r2
+    z1 = i01 * r0 + i11 * r1 + i12 * r2
+    z2 = i02 * r0 + i12 * r1 + i22 * r2
+    return jnp.concatenate([z0, z1, z2], axis=-1)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class BlockJacobi:
@@ -946,48 +1002,11 @@ class BlockJacobi:
         Masked DOFs are decoupled BEFORE inversion (row/col dropped),
         so the inverse acts like the constrained operator's block."""
         D, O = op.block_diagonal()
-        a, b, c = D[:, :BLK], D[:, BLK:2 * BLK], D[:, 2 * BLK:]
-        d, e, f = O[:, :BLK], O[:, BLK:2 * BLK], O[:, 2 * BLK:]
-        if mask is not None:
-            m0, m1, m2 = (mask[:, :BLK], mask[:, BLK:2 * BLK],
-                          mask[:, 2 * BLK:])
-            d = d * m0 * m1
-            e = e * m0 * m2
-            f = f * m1 * m2
-        cof00 = b * c - f * f
-        cof01 = e * f - d * c
-        cof02 = d * f - b * e
-        det = a * cof00 + d * cof01 + e * cof02
-        safe = jnp.isfinite(det) & (jnp.abs(det) > 0)
-        inv_det = jnp.where(safe, 1.0 / jnp.where(safe, det, 1.0), 0.0)
-
-        def scal(x):     # scalar-Jacobi fallback for singular blocks
-            return jnp.where(jnp.abs(x) > 0, 1.0 / jnp.where(x == 0, 1.0, x),
-                             0.0)
-
-        i00 = jnp.where(safe, cof00 * inv_det, scal(a))
-        i11 = jnp.where(safe, (a * c - e * e) * inv_det, scal(b))
-        i22 = jnp.where(safe, (a * b - d * d) * inv_det, scal(c))
-        i01 = jnp.where(safe, cof01 * inv_det, 0.0)
-        i02 = jnp.where(safe, cof02 * inv_det, 0.0)
-        i12 = jnp.where(safe, (d * e - a * f) * inv_det, 0.0)
-        inv_d = jnp.concatenate([i00, i11, i22], axis=1)
-        inv_o = jnp.concatenate([i01, i02, i12], axis=1)
-        if mask is not None:
-            inv_d = inv_d * mask
-            inv_o = inv_o * mask
+        inv_d, inv_o = invert_block_planes(D, O, mask)
         return BlockJacobi(inv_d=inv_d, inv_o=inv_o)
 
     def __call__(self, r):
-        r0, r1, r2 = r[:, :BLK], r[:, BLK:2 * BLK], r[:, 2 * BLK:]
-        i00, i11, i22 = (self.inv_d[:, :BLK], self.inv_d[:, BLK:2 * BLK],
-                         self.inv_d[:, 2 * BLK:])
-        i01, i02, i12 = (self.inv_o[:, :BLK], self.inv_o[:, BLK:2 * BLK],
-                         self.inv_o[:, 2 * BLK:])
-        z0 = i00 * r0 + i01 * r1 + i02 * r2
-        z1 = i01 * r0 + i11 * r1 + i12 * r2
-        z2 = i02 * r0 + i12 * r1 + i22 * r2
-        return jnp.concatenate([z0, z1, z2], axis=1)
+        return block_apply(self.inv_d, self.inv_o, r)
 
 
 # ---------------------------------------------------------------------------

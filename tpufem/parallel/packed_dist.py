@@ -40,7 +40,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import packed_kernels as pk
 from ..ops.packed import (BLK, ROW, PackedPartialOperator, PackedPlan,
-                          pa_apply_planar, pa_diag_planar)
+                          block_apply, invert_block_planes, pa_apply_planar,
+                          pa_blockdiag_planar, pa_diag_planar)
 from ..solvers.cg import (CONVERGED, MAX_ITER, NAN_INF, NOT_SPD, RUNNING,
                           SolveInfo)
 from .dist import make_mesh_1d
@@ -421,9 +422,37 @@ class PackedHaloFEM:
         return jnp.where(jnp.abs(d) > 0,
                          1.0 / jnp.where(d == 0, 1.0, d), 0.0)
 
+    def _blockdiag_shard(self, tables):
+        t = {n: a[0] for n, a in zip(_TABLE_NAMES, tables)}
+        m = self.part.meta
+        dN = np.asarray(self.part.dN)
+        d3, o3 = pa_blockdiag_planar(t["Jinv"], t["W"], dN, m.lam, m.mu)
+        out = []
+        for f3 in (d3, o3):
+            Fe = PackedPartialOperator._planar_to_lanes(f3, m.lanes)
+            Yc = pk.compress_gather(Fe, t["cinc"], m.v_widths,
+                                    interpret=self.interpret)
+            Ycg = self._exchange(Yc, t["csend"], t["crecv"], t["cmask"],
+                                 m.c_rounds, m.Gc)
+            Yc_ext = jnp.concatenate([Yc, Ycg], axis=0)
+            out.append(pk.combine(Yc_ext[t["winc"]], t["slotidx"],
+                                  interpret=self.interpret))
+        return out[0], out[1]
+
+    def block_jacobi_preconditioner(self, mask=None):
+        """(inv_d, inv_o) row-sharded packed planes — exact 3x3
+        node-block inverse (see ops.packed.BlockJacobi)."""
+        n = len(_TABLE_NAMES)
+        fn = jax.jit(jax.shard_map(
+            lambda *a: self._blockdiag_shard(a), mesh=self.mesh,
+            check_vma=False, in_specs=(P(self.axis),) * n,
+            out_specs=(P(self.axis), P(self.axis))))
+        D, O = fn(*self._tables)
+        return invert_block_planes(D, O, mask)
+
     # ------------------------------------------------------------------
     def _pcg_shard(self, tol, max_iter, eps, dot_dtype, tables, b, mask,
-                   minv, x0):
+                   minv_d, minv_o, x0):
         axis = self.axis
         ddt = dot_dtype or b.dtype
 
@@ -437,9 +466,14 @@ class PackedHaloFEM:
         def project(r):
             return r * mask
 
+        def apply_M(r):
+            # scalar Jacobi is the inv_o == 0 special case of the 3x3
+            # node-block apply — one code path for both
+            return block_apply(minv_d, minv_o, r)
+
         u0 = project(x0)
         r0 = project(b - A(u0))
-        z0 = r0 * minv
+        z0 = apply_M(r0)
         p0 = z0
         rz0 = pdot(r0, z0)
         r0n = jnp.sqrt(pdot(r0, r0))
@@ -457,7 +491,7 @@ class PackedHaloFEM:
             alpha = rz / (pAp + eps)
             u1 = project(u + alpha * p)
             r1 = project(r - alpha * Ap)
-            z1 = r1 * minv
+            z1 = apply_M(r1)
             rz1 = pdot(r1, z1)
             rn = jnp.sqrt(pdot(r1, r1))
             beta = rz1 / (rz + eps)
@@ -486,8 +520,14 @@ class PackedHaloFEM:
         rows = m.n_parts * m.Nbp
         mask = (self.free_mask if self.free_mask is not None
                 else jnp.ones((rows, ROW), b.dtype))
-        minv = (self.M_inv if self.M_inv is not None
-                else jnp.ones((rows, ROW), b.dtype))
+        if self.M_inv is None:
+            minv_d = jnp.ones((rows, ROW), b.dtype)
+            minv_o = jnp.zeros((rows, ROW), b.dtype)
+        elif isinstance(self.M_inv, tuple):
+            minv_d, minv_o = self.M_inv
+        else:
+            minv_d = self.M_inv
+            minv_o = jnp.zeros((rows, ROW), b.dtype)
         x0 = jnp.zeros((rows, ROW), b.dtype) if x0 is None else x0
         key = (float(tol), int(max_iter), str(dot_dtype))
         if key not in self._pcg:
@@ -498,10 +538,11 @@ class PackedHaloFEM:
                                        args[:n], *args[n:])
 
             self._pcg[key] = jax.jit(jax.shard_map(
-                fn, mesh=self.mesh, check_vma=False, in_specs=(P(self.axis),) * (n + 4),
+                fn, mesh=self.mesh, check_vma=False,
+                in_specs=(P(self.axis),) * (n + 5),
                 out_specs=(P(self.axis), P(), P(), P(), P())))
-        u, st, it, rn, hist = self._pcg[key](*self._tables, b, mask, minv,
-                                             x0)
+        u, st, it, rn, hist = self._pcg[key](*self._tables, b, mask,
+                                             minv_d, minv_o, x0)
         return u, SolveInfo(st, it, rn, hist)
 
 
@@ -509,7 +550,7 @@ def build_packed_halo_fem(coords, conn, etype: str, E: float, nu: float,
                           mesh: Optional[Mesh] = None, axis: str = "parts",
                           fixed_nodes=None, dtype=None,
                           elems_per_cluster: int = 32,
-                          precondition: bool = True, interpret=None):
+                          precondition="jacobi", interpret=None):
     """One-call setup of the distributed packed-layout system."""
     mesh = mesh or make_mesh_1d(None, axis)
     n_parts = mesh.devices.size
@@ -526,7 +567,11 @@ def build_packed_halo_fem(coords, conn, etype: str, E: float, nu: float,
         mask_n[np.asarray(fixed_nodes)] = 0.0
     maskX = jnp.asarray(part.pack_np(mask_n))
     fem.free_mask = jax.device_put(maskX, fem.row_sharding)
-    if precondition:
+    if precondition == "block":
+        inv_d, inv_o = fem.block_jacobi_preconditioner(mask=fem.free_mask)
+        fem.M_inv = (jax.device_put(inv_d, fem.row_sharding),
+                     jax.device_put(inv_o, fem.row_sharding))
+    elif precondition:
         minv = fem.jacobi_preconditioner() * fem.free_mask
         fem.M_inv = jax.device_put(minv, fem.row_sharding)
     return fem, part
