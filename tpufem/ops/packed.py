@@ -40,6 +40,10 @@ from .clustered import _StaticTable
 L_SLOTS = 128          # slots per cluster (one lane tile)
 BLK = 128              # nodes per packed row
 ROW = 3 * BLK          # lanes per packed row
+# chunked applies unroll up to this many chunks as STATIC slices (XLA can
+# then choose layouts per chunk and pipeline them; a fori_loop with
+# dynamic slices pins worse layouts — measured 3.5x on the 5M pa stage)
+UNROLL_CHUNKS = 16
 
 
 # ---------------------------------------------------------------------------
@@ -807,12 +811,12 @@ class PackedPartialOperator:
         for (s, n, wk), nch in zip(m.b_groups, fl.block_chunks):
             if wk == 0 or n == 0:      # blocks no cluster writes -> zero rows
                 continue
-            if nch == 1:
-                F = jax.lax.dynamic_update_slice_in_dim(F, chunk(s, n, wk),
-                                                        s, 0)
+            bc = n // nch
+            if nch <= UNROLL_CHUNKS:
+                for i in range(nch):
+                    F = jax.lax.dynamic_update_slice_in_dim(
+                        F, chunk(s + i * bc, bc, wk), s + i * bc, 0)
             else:
-                bc = n // nch
-
                 def body(i, F, s=s, bc=bc, wk=wk):
                     return jax.lax.dynamic_update_slice_in_dim(
                         F, chunk(s + i * bc, bc, wk), s + i * bc, 0)
@@ -829,12 +833,13 @@ class PackedPartialOperator:
                                                    fl.cluster_chunks)):
             if wk == 0 or n == 0:      # pad-only clusters -> zero slot sums
                 continue
-            if nch == 1:
-                Yc = jax.lax.dynamic_update_slice_in_dim(
-                    Yc, self._yc_chunk(Xp, gi, s, 0, n, wk), s, 0)
+            cc = n // nch
+            if nch <= UNROLL_CHUNKS:
+                for i in range(nch):
+                    Yc = jax.lax.dynamic_update_slice_in_dim(
+                        Yc, self._yc_chunk(Xp, gi, s, i * cc, cc, wk),
+                        s + i * cc, 0)
             else:
-                cc = n // nch
-
                 def body(i, Yc, gi=gi, s=s, cc=cc, wk=wk):
                     Ycc = self._yc_chunk(Xp, gi, s, i * cc, cc, wk)
                     return jax.lax.dynamic_update_slice_in_dim(
@@ -865,12 +870,12 @@ class PackedPartialOperator:
                                                    fl.cluster_chunks)):
             if wk == 0 or n == 0:
                 continue
-            if nch == 1:
-                Yc = jax.lax.dynamic_update_slice_in_dim(
-                    Yc, chunk(gi, s, 0, n), s, 0)
+            cc = n // nch
+            if nch <= UNROLL_CHUNKS:
+                for i in range(nch):
+                    Yc = jax.lax.dynamic_update_slice_in_dim(
+                        Yc, chunk(gi, s, i * cc, cc), s + i * cc, 0)
             else:
-                cc = n // nch
-
                 def body(i, Yc, gi=gi, s=s, cc=cc):
                     return jax.lax.dynamic_update_slice_in_dim(
                         Yc, chunk(gi, s, i * cc, cc), s + i * cc, 0)
@@ -905,12 +910,12 @@ class PackedPartialOperator:
                                                    fl.cluster_chunks)):
             if wk == 0 or n == 0:
                 continue
-            if nch == 1:
-                Yc = jax.lax.dynamic_update_slice(
-                    Yc, chunk(gi, s, 0, n), (0, s, 0))
+            cc = n // nch
+            if nch <= UNROLL_CHUNKS:
+                for i in range(nch):
+                    Yc = jax.lax.dynamic_update_slice(
+                        Yc, chunk(gi, s, i * cc, cc), (0, s + i * cc, 0))
             else:
-                cc = n // nch
-
                 def body(i, Yc, gi=gi, s=s, cc=cc):
                     return jax.lax.dynamic_update_slice(
                         Yc, chunk(gi, s, i * cc, cc), (0, s + i * cc, 0))
