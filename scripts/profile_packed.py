@@ -60,13 +60,14 @@ def main():
 
     def yc_prefix(opx, Xp, depth):
         """Yc-stage pipeline truncated at `depth` (1=hop1 .. 4=compress)."""
+        from tpufem.ops.packed import _chunk_offsets
         fl = opx.flags
         acc = jnp.float32(0.0)
-        for gi, ((s, nn, wk), nch) in enumerate(zip(m.c_groups,
-                                                    fl.cluster_chunks)):
+        for gi, ((s, nn, wk), cc) in enumerate(zip(m.c_groups,
+                                                   fl.cluster_rows)):
             if wk == 0 or nn == 0:
                 continue
-            cc = nn // nch
+            offs, roff, rem = _chunk_offsets(nn, cc)
 
             def one(loc, nn2, gi=gi, s=s, wk=wk):
                 bs = s + loc
@@ -91,12 +92,10 @@ def main():
                                                   nn2, 0)
                 return jnp.sum(pk.compress_gather(Fe, ci, m.cv_widths[gi]))
 
-            if nch == 1:
-                acc = acc + one(0, nn)
-            else:
-                acc = acc + jax.lax.fori_loop(
-                    0, nch, lambda i, a, cc=cc: a + one(i * cc, cc),
-                    jnp.float32(0.0))
+            for off in offs:
+                acc = acc + one(off, cc)
+            if rem:
+                acc = acc + one(roff, rem)
         return acc
 
     def make_depth(depth):
@@ -118,26 +117,23 @@ def main():
                 Ycp = jnp.concatenate(
                     [X[: m.n_clusters] * (1.0 + 1e-9 * a),
                      jnp.zeros((1, ROW), X.dtype)])
+                from tpufem.ops.packed import _chunk_offsets
                 s_ = jnp.float32(0.0)
-                for (s, nn, wk), nch in zip(m.b_groups,
-                                            opx.flags.block_chunks):
+                for (s, nn, wk), bc in zip(m.b_groups,
+                                           opx.flags.block_rows):
                     if wk == 0 or nn == 0:
                         continue
-                    bc = nn // nch
 
                     def one(bs, nn2, wk=wk):
                         wc = jax.lax.dynamic_slice_in_dim(
                             opx.plan.winc, bs, nn2, 0)[:, :wk]
                         return jnp.sum(Ycp[wc])
 
-                    if nch == 1:
-                        s_ = s_ + one(s, nn)
-                    else:
-                        s_ = s_ + jax.lax.fori_loop(
-                            0, nch,
-                            lambda i2, a2, s=s, bc=bc: a2 + one(s + i2 * bc,
-                                                                bc),
-                            jnp.float32(0.0))
+                    offs, roff, rem = _chunk_offsets(nn, bc)
+                    for off in offs:
+                        s_ = s_ + one(s + off, bc)
+                    if rem:
+                        s_ = s_ + one(s + roff, rem)
                 return a + s_ * 1e-9
             return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
         return f

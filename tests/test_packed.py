@@ -210,7 +210,10 @@ def test_packed_chunked_matches_unchunked():
                                       E, NU, n_nodes=N, interpret=True,
                                       chunk_budget_bytes=40_000,
                                       window_buckets=1)
-    assert max(op2.flags.cluster_chunks) > 1 and max(op2.flags.block_chunks) > 1
+    assert (max(c < n for (_, n, _), c in
+                zip(op2.plan.meta.c_groups, op2.flags.cluster_rows))
+            and max(b < n for (_, n, _), b in
+                    zip(op2.plan.meta.b_groups, op2.flags.block_rows)))
     u = np.random.default_rng(3).standard_normal((N, 3))
     uj = jnp.asarray(u)
     # the two plans have different node numberings (bucket permutations),

@@ -666,23 +666,29 @@ def pa_diag_planar(Jinv, W, dN, lam, mu):
 @dataclasses.dataclass(frozen=True)
 class _PackedFlags:
     interpret: bool = False
-    # per-bucket chunk counts (aligned with meta.c_groups / meta.b_groups):
-    # each bucket's expand/compute/compress (resp. combine) runs in this
-    # many fori_loop chunks so window gathers stay under the byte budget
-    cluster_chunks: Tuple[int, ...] = ()
-    block_chunks: Tuple[int, ...] = ()
+    # per-bucket chunk ROW counts (aligned with meta.c_groups/b_groups):
+    # each bucket's expand/compute/compress (resp. combine) processes this
+    # many rows per chunk so window gathers stay under the byte budget;
+    # the last chunk carries the (multiple-of-8) remainder.  Earlier
+    # chunk-COUNT flags required the count to divide the bucket — at 5.14M
+    # elements that degenerated to 7253 eight-row chunks in one bucket.
+    cluster_rows: Tuple[int, ...] = ()
+    block_rows: Tuple[int, ...] = ()
 
 
-def _n_chunks(total: int, target_bytes: int, bytes_per: int) -> int:
-    """Smallest chunk count with chunks under budget, chunks a multiple of
-    8 (Pallas sublane tiling) — `total` is always a multiple of 8."""
+def _chunk_rows(total: int, target_bytes: int, bytes_per: int) -> int:
+    """Rows per chunk: a multiple of 8 (Pallas sublane tiling), <= total,
+    sized to the byte budget — `total` is always a multiple of 8."""
     if total * bytes_per <= target_bytes:
-        return 1
-    t8 = total // 8
-    n = min(-(-total * bytes_per // target_bytes), t8)
-    while t8 % n:            # n <= t8, and n == t8 always divides
-        n += 1
-    return int(n)
+        return max(total, 8)
+    cc = max(8, int(target_bytes // bytes_per) // 8 * 8)
+    return min(cc, total)
+
+
+def _chunk_offsets(total: int, cc: int):
+    """(full-chunk offsets, remainder offset, remainder rows)."""
+    nfull, rem = divmod(total, cc)
+    return [i * cc for i in range(nfull)], nfull * cc, rem
 
 
 @jax.tree_util.register_dataclass
@@ -742,19 +748,19 @@ class PackedPartialOperator:
         # process each bucket's clusters / node blocks in chunks that fit
         # the budget (bucket width sets the per-row gather bytes)
         itemsize = jnp.dtype(dtype).itemsize
-        cchunks = tuple(
-            _n_chunks(n, chunk_budget_bytes,
-                      max(wk, 1) * ROW * itemsize + m.lanes * 3 * itemsize
-                      + -(-sum(m.cv_widths[gi]) // 4) * BLK * 4)
+        crows = tuple(
+            _chunk_rows(n, chunk_budget_bytes,
+                        max(wk, 1) * ROW * itemsize + m.lanes * 3 * itemsize
+                        + -(-sum(m.cv_widths[gi]) // 4) * BLK * 4)
             for gi, (_, n, wk) in enumerate(m.c_groups))
-        bchunks = tuple(
-            _n_chunks(n, chunk_budget_bytes,
-                      max(wk, 1) * (ROW * itemsize + BLK * 4))
+        brows = tuple(
+            _chunk_rows(n, chunk_budget_bytes,
+                        max(wk, 1) * (ROW * itemsize + BLK * 4))
             for (_, n, wk) in m.b_groups)
         return PackedPartialOperator(
             Jinv=Jp, W=Wp, dN=_StaticTable.of(table.dN), plan=plan,
             lam_mu=(float(lam), float(mu)),
-            flags=_PackedFlags(interpret, cchunks, bchunks))
+            flags=_PackedFlags(interpret, crows, brows))
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -808,20 +814,23 @@ class PackedPartialOperator:
                 self.plan.slotidx, bs, n, 0)[:, :wk]
             return pk.combine(Ycp[wc], si, interpret=fl.interpret)
 
-        for (s, n, wk), nch in zip(m.b_groups, fl.block_chunks):
+        for (s, n, wk), bc in zip(m.b_groups, fl.block_rows):
             if wk == 0 or n == 0:      # blocks no cluster writes -> zero rows
                 continue
-            bc = n // nch
-            if nch <= UNROLL_CHUNKS:
-                for i in range(nch):
+            offs, roff, rem = _chunk_offsets(n, bc)
+            if len(offs) <= UNROLL_CHUNKS:
+                for off in offs:
                     F = jax.lax.dynamic_update_slice_in_dim(
-                        F, chunk(s + i * bc, bc, wk), s + i * bc, 0)
+                        F, chunk(s + off, bc, wk), s + off, 0)
             else:
                 def body(i, F, s=s, bc=bc, wk=wk):
                     return jax.lax.dynamic_update_slice_in_dim(
                         F, chunk(s + i * bc, bc, wk), s + i * bc, 0)
 
-                F = jax.lax.fori_loop(0, nch, body, F)
+                F = jax.lax.fori_loop(0, len(offs), body, F)
+            if rem:
+                F = jax.lax.dynamic_update_slice_in_dim(
+                    F, chunk(s + roff, rem, wk), s + roff, 0)
         return F
 
     def __call__(self, X):
@@ -829,23 +838,27 @@ class PackedPartialOperator:
         m = self.plan.meta
         Xp = jnp.concatenate([X, jnp.zeros((1, ROW), X.dtype)], axis=0)
         Yc = jnp.zeros((m.n_clusters, ROW), X.dtype)
-        for gi, ((s, n, wk), nch) in enumerate(zip(m.c_groups,
-                                                   fl.cluster_chunks)):
+        for gi, ((s, n, wk), cc) in enumerate(zip(m.c_groups,
+                                                  fl.cluster_rows)):
             if wk == 0 or n == 0:      # pad-only clusters -> zero slot sums
                 continue
-            cc = n // nch
-            if nch <= UNROLL_CHUNKS:
-                for i in range(nch):
+            offs, roff, rem = _chunk_offsets(n, cc)
+            if len(offs) <= UNROLL_CHUNKS:
+                for off in offs:
                     Yc = jax.lax.dynamic_update_slice_in_dim(
-                        Yc, self._yc_chunk(Xp, gi, s, i * cc, cc, wk),
-                        s + i * cc, 0)
+                        Yc, self._yc_chunk(Xp, gi, s, off, cc, wk),
+                        s + off, 0)
             else:
                 def body(i, Yc, gi=gi, s=s, cc=cc, wk=wk):
                     Ycc = self._yc_chunk(Xp, gi, s, i * cc, cc, wk)
                     return jax.lax.dynamic_update_slice_in_dim(
                         Yc, Ycc, s + i * cc, 0)
 
-                Yc = jax.lax.fori_loop(0, nch, body, Yc)
+                Yc = jax.lax.fori_loop(0, len(offs), body, Yc)
+            if rem:
+                Yc = jax.lax.dynamic_update_slice_in_dim(
+                    Yc, self._yc_chunk(Xp, gi, s, roff, rem, wk),
+                    s + roff, 0)
         return self._combine(Yc)
 
     def diagonal(self):
@@ -866,21 +879,24 @@ class PackedPartialOperator:
                                       interpret=fl.interpret)
 
         Yc = jnp.zeros((m.n_clusters, ROW), self.W.dtype)
-        for gi, ((s, n, wk), nch) in enumerate(zip(m.c_groups,
-                                                   fl.cluster_chunks)):
+        for gi, ((s, n, wk), cc) in enumerate(zip(m.c_groups,
+                                                  fl.cluster_rows)):
             if wk == 0 or n == 0:
                 continue
-            cc = n // nch
-            if nch <= UNROLL_CHUNKS:
-                for i in range(nch):
+            offs, roff, rem = _chunk_offsets(n, cc)
+            if len(offs) <= UNROLL_CHUNKS:
+                for off in offs:
                     Yc = jax.lax.dynamic_update_slice_in_dim(
-                        Yc, chunk(gi, s, i * cc, cc), s + i * cc, 0)
+                        Yc, chunk(gi, s, off, cc), s + off, 0)
             else:
                 def body(i, Yc, gi=gi, s=s, cc=cc):
                     return jax.lax.dynamic_update_slice_in_dim(
                         Yc, chunk(gi, s, i * cc, cc), s + i * cc, 0)
 
-                Yc = jax.lax.fori_loop(0, nch, body, Yc)
+                Yc = jax.lax.fori_loop(0, len(offs), body, Yc)
+            if rem:
+                Yc = jax.lax.dynamic_update_slice_in_dim(
+                    Yc, chunk(gi, s, roff, rem), s + roff, 0)
         return self._combine(Yc)
 
     def block_diagonal(self):
@@ -906,21 +922,24 @@ class PackedPartialOperator:
             return jnp.stack(out, axis=0)           # [2, n, 384]
 
         Yc = jnp.zeros((2, m.n_clusters, ROW), self.W.dtype)
-        for gi, ((s, n, wk), nch) in enumerate(zip(m.c_groups,
-                                                   fl.cluster_chunks)):
+        for gi, ((s, n, wk), cc) in enumerate(zip(m.c_groups,
+                                                  fl.cluster_rows)):
             if wk == 0 or n == 0:
                 continue
-            cc = n // nch
-            if nch <= UNROLL_CHUNKS:
-                for i in range(nch):
+            offs, roff, rem = _chunk_offsets(n, cc)
+            if len(offs) <= UNROLL_CHUNKS:
+                for off in offs:
                     Yc = jax.lax.dynamic_update_slice(
-                        Yc, chunk(gi, s, i * cc, cc), (0, s + i * cc, 0))
+                        Yc, chunk(gi, s, off, cc), (0, s + off, 0))
             else:
                 def body(i, Yc, gi=gi, s=s, cc=cc):
                     return jax.lax.dynamic_update_slice(
                         Yc, chunk(gi, s, i * cc, cc), (0, s + i * cc, 0))
 
-                Yc = jax.lax.fori_loop(0, nch, body, Yc)
+                Yc = jax.lax.fori_loop(0, len(offs), body, Yc)
+            if rem:
+                Yc = jax.lax.dynamic_update_slice(
+                    Yc, chunk(gi, s, roff, rem), (0, s + roff, 0))
         return self._combine(Yc[0]), self._combine(Yc[1])
 
 
