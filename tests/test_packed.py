@@ -202,13 +202,13 @@ def test_packed_cg_solve():
 def test_packed_chunked_matches_unchunked():
     """Chunked + single-bucket apply (scale path) matches the default
     bucketed/unchunked apply to fp roundoff."""
-    coords, conn = meshgen.box_tet10(6, 6, 6)
+    coords, conn = meshgen.box_tet10(10, 10, 10)
     N = coords.shape[0]
     op1 = PackedPartialOperator.build(jnp.asarray(coords), conn, "c3d10",
                                       E, NU, n_nodes=N, interpret=True)
     op2 = PackedPartialOperator.build(jnp.asarray(coords), conn, "c3d10",
                                       E, NU, n_nodes=N, interpret=True,
-                                      chunk_budget_bytes=40_000,
+                                      chunk_budget_bytes=400_000,
                                       window_buckets=1)
     assert (max(c < n for (_, n, _), c in
                 zip(op2.plan.meta.c_groups, op2.flags.cluster_rows))

@@ -44,6 +44,13 @@ ROW = 3 * BLK          # lanes per packed row
 # then choose layouts per chunk and pipeline them; a fori_loop with
 # dynamic slices pins worse layouts — measured 3.5x on the 5M pa stage)
 UNROLL_CHUNKS = 16
+# Pallas kernel tile (clusters / node blocks per grid step).  8 was enough
+# for small meshes, but at 5M elements the three lane-gather kernels ran
+# 3-4x below their 83k per-element rate with ~25k grid steps each —
+# per-step (DMA initiation) overhead; 64-row tiles cut steps 8x.  Cluster
+# and block counts, bucket boundaries and chunk rows all align to TILE so
+# the kernels actually get it (they halve the tile until it divides).
+TILE = 64
 
 
 # ---------------------------------------------------------------------------
@@ -83,7 +90,7 @@ def _chunk_unique_counts(conn_rows: np.ndarray) -> np.ndarray:
 
 
 def _bucket_groups(counts: np.ndarray, max_groups: int = 4,
-                   align: int = 8) -> Tuple[Tuple[int, int, int], ...]:
+                   align: int = TILE) -> Tuple[Tuple[int, int, int], ...]:
     """Optimal contiguous grouping of ASCENDING-sorted window counts.
 
     Returns ((start, size, width), ...) covering [0, len(counts)), where
@@ -230,7 +237,7 @@ class PackedPlan:
                     stack.extend([(mid, b), (a, mid)])
         ranges.sort()                                  # keep Morton locality
         B = len(ranges)
-        Bpad = -(-B // 8) * 8
+        Bpad = -(-B // TILE) * TILE
         ra = np.full(Bpad, M, np.int64)
         rl = np.zeros(Bpad, np.int64)
         ra[:B] = [a for a, _ in ranges]
@@ -263,7 +270,7 @@ class PackedPlan:
         missing = np.nonzero(new_from_old < 0)[0]
         new_from_old[missing] = n_ref + np.arange(missing.size)
         Nb = -(-n_nodes // BLK)
-        Nb = -(-Nb // 8) * 8
+        Nb = -(-Nb // TILE) * TILE
         Npad = Nb * BLK
         old_from_new = np.full(Npad, -1, np.int64)
         old_from_new[new_from_old] = np.arange(n_nodes)
@@ -677,11 +684,11 @@ class _PackedFlags:
 
 
 def _chunk_rows(total: int, target_bytes: int, bytes_per: int) -> int:
-    """Rows per chunk: a multiple of 8 (Pallas sublane tiling), <= total,
-    sized to the byte budget — `total` is always a multiple of 8."""
+    """Rows per chunk: a multiple of TILE (so the kernels keep their full
+    tile), <= total, sized to the byte budget."""
     if total * bytes_per <= target_bytes:
         return max(total, 8)
-    cc = max(8, int(target_bytes // bytes_per) // 8 * 8)
+    cc = max(TILE, int(target_bytes // bytes_per) // TILE * TILE)
     return min(cc, total)
 
 

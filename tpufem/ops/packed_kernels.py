@@ -73,7 +73,7 @@ def _expand_kernel(xw_ref, wslot_ref, jslot_ref, lconn_ref, out_ref, *,
         out_ref[:, c, :] = jnp.concatenate(chunks, axis=1)
 
 
-def expand(xw, wslot, jslot, lconn, *, tile: int = 8,
+def expand(xw, wslot, jslot, lconn, *, tile: int = 64,
            interpret: bool = False):
     """[B, Wn, 384] window rows -> ue [B, 3, Rp] element-lane values.
 
@@ -143,7 +143,7 @@ def _compress_gather_kernel(fe_ref, cinc_ref, out_ref, *, TB: int,
         out_ref[:, c * 128:(c + 1) * 128] = acc
 
 
-def compress_gather(fe, cinc, v_widths, *, tile: int = 8,
+def compress_gather(fe, cinc, v_widths, *, tile: int = 64,
                     interpret: bool = False):
     """Fe [B, 3, Rp] -> Yc [B, 384] via per-slot incidence gathers.
 
@@ -195,7 +195,7 @@ def _combine_kernel(ycw_ref, slotidx_ref, out_ref, *, TJ: int, Wc: int):
         out_ref[:, c * 128:(c + 1) * 128] = acc[c]
 
 
-def combine(ycw, slotidx, *, tile: int = 8, interpret: bool = False):
+def combine(ycw, slotidx, *, tile: int = 64, interpret: bool = False):
     """Ycw [Nb, Wc, 384] gathered cluster rows + slotidx [Nb, Wc, 128]
     (slot of each node in that cluster, -1 = absent) -> F [Nb, 384].
 
