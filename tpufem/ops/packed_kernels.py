@@ -43,6 +43,18 @@ def _lane_gather(src, idx):
     return jnp.take_along_axis(src, idx, axis=1)
 
 
+def _fit_tile(tile: int, n_rows: int, row_bytes: int,
+              budget: int = 6 << 20) -> int:
+    """Largest tile (halving from `tile`) whose double-buffered block fits
+    the scoped-VMEM budget — wide-window blocks at 10M elements blew the
+    16 MB limit at TILE=64 (combine: Wc=58 -> 119 KB/row)."""
+    while tile > 8 and tile * row_bytes > budget:
+        tile //= 2
+    while n_rows % tile:
+        tile //= 2
+    return max(tile, 1)
+
+
 # ---------------------------------------------------------------------------
 # expand: X window rows -> element-lane values
 # ---------------------------------------------------------------------------
@@ -83,9 +95,8 @@ def expand(xw, wslot, jslot, lconn, *, tile: int = 64,
     """
     B, Wn, _ = xw.shape
     Rp = lconn.shape[1]
-    TB = tile
-    while B % TB:
-        TB //= 2
+    itemsize = jnp.dtype(xw.dtype).itemsize
+    TB = _fit_tile(tile, B, (Wn * 384 + 3 * Rp) * itemsize + 640 * 4)
     kern = functools.partial(_expand_kernel, TB=TB, Wn=Wn, Rp=Rp)
     return pl.pallas_call(
         kern,
@@ -154,9 +165,9 @@ def compress_gather(fe, cinc, v_widths, *, tile: int = 64,
     low-valence buckets pay only their own widths).
     """
     B, _, Rp = fe.shape
-    TB = tile
-    while B % TB:
-        TB //= 2
+    itemsize = jnp.dtype(fe.dtype).itemsize
+    TB = _fit_tile(tile, B, (3 * Rp + 384) * itemsize
+                   + cinc.shape[1] * 128 * 4)
     kern = functools.partial(_compress_gather_kernel, TB=TB,
                              v_widths=tuple(v_widths))
     Vsum = cinc.shape[1]
@@ -201,9 +212,8 @@ def combine(ycw, slotidx, *, tile: int = 64, interpret: bool = False):
 
     Deterministic: fixed window order per block."""
     Nb, Wc, _ = ycw.shape
-    TJ = tile
-    while Nb % TJ:
-        TJ //= 2
+    itemsize = jnp.dtype(ycw.dtype).itemsize
+    TJ = _fit_tile(tile, Nb, Wc * (384 * itemsize + 128 * 4) + 384 * itemsize)
     kern = functools.partial(_combine_kernel, TJ=TJ, Wc=Wc)
     return pl.pallas_call(
         kern,
