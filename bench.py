@@ -145,7 +145,8 @@ def main():
     bytes_min = (m.n_clusters * m.elems_per_cluster * (qJ * 9 + q) * 4
                  + (cw + 2 * m.n_clusters) * 1536
                  + (bw + m.n_blocks) * 1536
-                 + bw * 512                        # slotidx int32 stream
+                 + sum(nn * -(-wk // 4) for (_, nn, wk) in m.b_groups)
+                 * 512                    # slotidx byte-packed int32 stream
                  + _cinc_bytes(m))                 # packed incidence stream
     roofline_fraction = (bytes_min / t_spmv) / 897e9
 

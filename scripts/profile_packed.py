@@ -7,7 +7,7 @@ rows:
   hop1       bucketed window row pre-gather Xw = Xp[win_nodes]
   +expand    + Pallas lane-gather expand to element slots
   +pa        + planar partial-assembly element compute
-  +compress  + one-hot MXU compress to slot sums (full Yc stage)
+  +compress  + incidence gather-compress to slot sums (full Yc stage)
   cgather    combine-side row pre-gather Ycp[winc] alone
   combine    full combine (gather + Pallas lane-gather reduce)
   full       whole apply

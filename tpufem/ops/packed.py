@@ -182,7 +182,12 @@ class PackedPlan:
     # int32 words, 4 byte-packed lane+1 entries each (0 = unused)
     cinc: Tuple[jnp.ndarray, ...]
     winc: jnp.ndarray         # [Nb, Wc] int32 cluster (pad -> B)
-    slotidx: jnp.ndarray      # [Nb, Wc, 128] slot of node in cluster (-1)
+    # byte-packed combine incidence: [Nb, ceil(Wc/4), 128] int32 words,
+    # byte w%4 of word w//4 = slot of the node in window cluster w, +1
+    # (0 = absent) — slot ids are < 128; packing cuts the largest plan
+    # table (int32 [Nb, Wc, 128] would be ~1.6 GB at 5M elements) and
+    # the combine's per-apply stream 4x
+    slotidx: jnp.ndarray
     new_from_old: jnp.ndarray  # [N] int32
     old_from_new: jnp.ndarray  # [Nb*128] int32 (-1 pad)
     esrc: jnp.ndarray         # [B*E_c] int32 original element id (-1 pad)
@@ -460,7 +465,13 @@ class PackedPlan:
         win_nodes = np.where(win_nodes < Nb,
                              bpos[np.minimum(win_nodes, Nb - 1)], Nb)
         winc = winc[bperm]
-        slotidx = slotidx[bperm]
+        # byte-pack slotidx 4 windows per int32 word (value = slot + 1)
+        Wcp4 = max(-(-Wc // 4), 1)
+        sv = np.zeros((Nb, Wcp4 * 4, BLK), np.uint32)
+        sv[:, :Wc] = (slotidx[bperm].astype(np.int64) + 1).astype(np.uint32)
+        slotidx = np.ascontiguousarray(
+            sv[:, 0::4] | (sv[:, 1::4] << 8) | (sv[:, 2::4] << 16)
+            | (sv[:, 3::4] << 24)).view(np.int32)
         # cluster permutation: rows of cluster tables; values of winc
         win_nodes = win_nodes[cperm]
         wslot = wslot[cperm]
@@ -762,7 +773,8 @@ class PackedPartialOperator:
             for gi, (_, n, wk) in enumerate(m.c_groups))
         brows = tuple(
             _chunk_rows(n, chunk_budget_bytes,
-                        max(wk, 1) * (ROW * itemsize + BLK * 4))
+                        max(wk, 1) * ROW * itemsize
+                        + -(-max(wk, 1) // 4) * BLK * 4)
             for (_, n, wk) in m.b_groups)
         return PackedPartialOperator(
             Jinv=Jp, W=Wp, dN=_StaticTable.of(table.dN), plan=plan,
@@ -818,8 +830,8 @@ class PackedPartialOperator:
         def chunk(bs, n, wk):
             wc = jax.lax.dynamic_slice_in_dim(self.plan.winc, bs, n, 0)[:, :wk]
             si = jax.lax.dynamic_slice_in_dim(
-                self.plan.slotidx, bs, n, 0)[:, :wk]
-            return pk.combine(Ycp[wc], si, interpret=fl.interpret)
+                self.plan.slotidx, bs, n, 0)[:, : -(-wk // 4)]
+            return pk.combine(Ycp[wc], si, wk, interpret=fl.interpret)
 
         for (s, n, wk), bc in zip(m.b_groups, fl.block_rows):
             if wk == 0 or n == 0:      # blocks no cluster writes -> zero rows

@@ -68,14 +68,13 @@ def _expand_kernel(xw_ref, wslot_ref, jslot_ref, lconn_ref, out_ref, *,
     """
     wslot = wslot_ref[:]                       # [TB, 128] window of each slot
     jslot = jslot_ref[:]                       # [TB, 128] lane within window
-    uc = []                                    # per-component [TB, 128]
-    for c in range(3):
-        acc = jnp.zeros((TB, 128), out_ref.dtype)
-        for w in range(Wn):
+    uc = [jnp.zeros((TB, 128), out_ref.dtype) for _ in range(3)]
+    for w in range(Wn):
+        hit = wslot == w                       # ONCE per window, 3 c reuses
+        for c in range(3):
             src = xw_ref[:, w, c * 128:(c + 1) * 128]          # [TB, 128]
             g = _lane_gather(src, jslot)
-            acc = acc + jnp.where(wslot == w, g, 0.0)
-        uc.append(acc)
+            uc[c] = uc[c] + jnp.where(hit, g, 0.0)
     lconn = lconn_ref[:]                       # [TB, Rp] slot of each lane
     for c in range(3):
         # dynamic_gather sources must fit one vreg (128 lanes): gather the
@@ -139,19 +138,24 @@ def _compress_gather_kernel(fe_ref, cinc_ref, out_ref, *, TB: int,
     Exact in every dtype (pure adds, fixed v order), deterministic.
     """
     cinc = cinc_ref[:]                          # [TB, ceil(Vsum/4), 128] i32
+    acc = [jnp.zeros((TB, 128), out_ref.dtype) for _ in range(3)]
+    off = 0
+    for g, vg in enumerate(v_widths):
+        src = [fe_ref[:, c, g * 128:(g + 1) * 128] for c in range(3)]
+        for v in range(vg):
+            vi = off + v
+            # unpack ONCE per incidence entry, reuse for all 3 components
+            # (the stage is VPU-op bound, not gather bound)
+            byte = jax.lax.shift_right_logical(
+                cinc[:, vi // 4, :], jnp.int32(8 * (vi % 4))) & 0xFF
+            valid = byte > 0
+            idx = jnp.maximum(byte - 1, 0)
+            for c in range(3):
+                gth = _lane_gather(src[c], idx)
+                acc[c] = acc[c] + jnp.where(valid, gth, 0.0)
+        off += vg
     for c in range(3):
-        acc = jnp.zeros((TB, 128), out_ref.dtype)
-        off = 0
-        for g, vg in enumerate(v_widths):
-            src = fe_ref[:, c, g * 128:(g + 1) * 128]   # [TB, 128]
-            for v in range(vg):
-                vi = off + v
-                byte = jax.lax.shift_right_logical(
-                    cinc[:, vi // 4, :], jnp.int32(8 * (vi % 4))) & 0xFF
-                gth = _lane_gather(src, jnp.maximum(byte - 1, 0))
-                acc = acc + jnp.where(byte > 0, gth, 0.0)
-            off += vg
-        out_ref[:, c * 128:(c + 1) * 128] = acc
+        out_ref[:, c * 128:(c + 1) * 128] = acc[c]
 
 
 def compress_gather(fe, cinc, v_widths, *, tile: int = 64,
@@ -192,12 +196,20 @@ def compress_gather(fe, cinc, v_widths, *, tile: int = 64,
 # ---------------------------------------------------------------------------
 
 def _combine_kernel(ycw_ref, slotidx_ref, out_ref, *, TJ: int, Wc: int):
-    """F[c, l] = sum_w Ycw[w][c, slot(l)] over the block's cluster window."""
+    """F[c, l] = sum_w Ycw[w][c, slot(l)] over the block's cluster window.
+
+    slotidx is byte-packed 4 windows per int32 word (byte value =
+    slot + 1, 0 = node absent from that cluster): slot ids are < 128 so
+    a byte holds them, and the packing cuts the biggest plan table and
+    its per-apply stream 4x (same scheme as the compress incidence).
+    """
+    sp = slotidx_ref[:]                         # [TJ, ceil(Wc/4), 128] i32
     acc = [jnp.zeros((TJ, 128), out_ref.dtype) for _ in range(3)]
     for w in range(Wc):
-        sidx = slotidx_ref[:, w, :]                            # [TJ, 128]
-        valid = sidx >= 0
-        idx = jnp.maximum(sidx, 0)
+        byte = jax.lax.shift_right_logical(
+            sp[:, w // 4, :], jnp.int32(8 * (w % 4))) & 0xFF
+        valid = byte > 0
+        idx = jnp.maximum(byte - 1, 0)
         for c in range(3):
             src = ycw_ref[:, w, c * 128:(c + 1) * 128]
             g = _lane_gather(src, idx)
@@ -206,22 +218,29 @@ def _combine_kernel(ycw_ref, slotidx_ref, out_ref, *, TJ: int, Wc: int):
         out_ref[:, c * 128:(c + 1) * 128] = acc[c]
 
 
-def combine(ycw, slotidx, *, tile: int = 64, interpret: bool = False):
-    """Ycw [Nb, Wc, 384] gathered cluster rows + slotidx [Nb, Wc, 128]
-    (slot of each node in that cluster, -1 = absent) -> F [Nb, 384].
+def combine(ycw, slotidx, wc=None, *, tile: int = 64,
+            interpret: bool = False):
+    """Ycw [Nb, Wc, 384] gathered cluster rows + byte-packed slotidx
+    [Nb, ceil(Wc/4), 128] int32 (byte = slot of each node in that
+    cluster + 1; 0 = absent) -> F [Nb, 384].
 
+    wc: number of windows actually present (defaults to Ycw's Wc dim).
     Deterministic: fixed window order per block."""
     Nb, Wc, _ = ycw.shape
+    if wc is None:
+        wc = Wc
+    Wp = slotidx.shape[1]
     itemsize = jnp.dtype(ycw.dtype).itemsize
-    TJ = _fit_tile(tile, Nb, Wc * (384 * itemsize + 128 * 4) + 384 * itemsize)
-    kern = functools.partial(_combine_kernel, TJ=TJ, Wc=Wc)
+    TJ = _fit_tile(tile, Nb, Wc * 384 * itemsize + Wp * 128 * 4
+                   + 384 * itemsize)
+    kern = functools.partial(_combine_kernel, TJ=TJ, Wc=int(wc))
     return pl.pallas_call(
         kern,
         grid=(Nb // TJ,),
         in_specs=[
             pl.BlockSpec((TJ, Wc, 384), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TJ, Wc, 128), lambda i: (i, 0, 0),
+            pl.BlockSpec((TJ, Wp, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((TJ, 384), lambda i: (i, 0),

@@ -93,7 +93,7 @@ class PackedDistPartition:
     W: jnp.ndarray           # [P, q, Bp, E_c]
     # block tables [P, Nbp, ...] (winc remapped to local-ext cluster ids)
     winc: jnp.ndarray        # [P, Nbp, Wc] -> [0, Bp+Gc]; pad = Bp+Gc
-    slotidx: jnp.ndarray     # [P, Nbp, Wc, 128]
+    slotidx: jnp.ndarray     # [P, Nbp, ceil(Wc/4), 128] byte-packed
     # exchanges (block rows of X; cluster rows of Yc)
     xsend: jnp.ndarray       # [P, Rx, Hx] local row to send (pad 0)
     xrecv: jnp.ndarray       # [P, Rx, Hx] ghost slot; masked -> Gx (scratch)
@@ -149,7 +149,8 @@ class PackedDistPartition:
         esrc = padc(np.asarray(plan.esrc).reshape(m.n_clusters, -1), -1)
         winc = padb(np.asarray(plan.winc)[:, :Wc].astype(np.int64),
                     m.n_clusters)
-        slotidx = padb(np.asarray(plan.slotidx)[:, :Wc], -1)
+        # slotidx is byte-packed 4 windows per int32 word (0 = absent)
+        slotidx = padb(np.asarray(plan.slotidx)[:, : -(-Wc // 4)], 0)
 
         cluster_owner = np.arange(Bt) // Bp
         block_owner = np.arange(Nbt) // Nbp
@@ -284,7 +285,7 @@ class PackedDistPartition:
                 cinc.reshape(Pn, Bp, -1, BLK))),
             Jinv=Jp, W=Wp,
             winc=i32(winc_l.reshape(Pn, Nbp, Wc)),
-            slotidx=i32(slotidx.reshape(Pn, Nbp, Wc, BLK)),
+            slotidx=i32(slotidx.reshape(Pn, Nbp, -1, BLK)),
             xsend=i32(xsend), xrecv=i32(xrecv),
             xmask=jnp.asarray(xmask, dtype),
             csend=i32(csend), crecv=i32(crecv),
@@ -383,7 +384,7 @@ class PackedHaloFEM:
         Ycg = self._exchange(Yc, t["csend"], t["crecv"], t["cmask"],
                              m.c_rounds, m.Gc)
         Yc_ext = jnp.concatenate([Yc, Ycg], axis=0)
-        return pk.combine(Yc_ext[t["winc"]], t["slotidx"],
+        return pk.combine(Yc_ext[t["winc"]], t["slotidx"], m.win_c,
                           interpret=self.interpret)
 
     def spmv(self, X):
@@ -410,7 +411,7 @@ class PackedHaloFEM:
         Ycg = self._exchange(Yc, t["csend"], t["crecv"], t["cmask"],
                              m.c_rounds, m.Gc)
         Yc_ext = jnp.concatenate([Yc, Ycg], axis=0)
-        return pk.combine(Yc_ext[t["winc"]], t["slotidx"],
+        return pk.combine(Yc_ext[t["winc"]], t["slotidx"], m.win_c,
                           interpret=self.interpret)
 
     def jacobi_preconditioner(self):
@@ -435,7 +436,7 @@ class PackedHaloFEM:
             Ycg = self._exchange(Yc, t["csend"], t["crecv"], t["cmask"],
                                  m.c_rounds, m.Gc)
             Yc_ext = jnp.concatenate([Yc, Ycg], axis=0)
-            out.append(pk.combine(Yc_ext[t["winc"]], t["slotidx"],
+            out.append(pk.combine(Yc_ext[t["winc"]], t["slotidx"], m.win_c,
                                   interpret=self.interpret))
         return out[0], out[1]
 
