@@ -42,6 +42,133 @@ def test_vtk_second_order_roundtrip(tmp_path):
     np.testing.assert_array_equal(conn2, conn)
 
 
+@pytest.mark.parametrize("compress", [False, True])
+def test_vtu_roundtrip_mixed(tmp_path, compress):
+    coords, hexes = meshgen.box_hex(1, 2, 1)
+    _, quads = meshgen.grid_quad(2, 1)
+    p = tmp_path / "mixed.vtu"
+    vtk.write_vtu(str(p), coords, {"c3d8": hexes, "s4": quads},
+                  point_data={"z": coords[:, 2]}, compress=compress)
+    pts, blocks = vtk.read_vtu(str(p))
+    np.testing.assert_allclose(pts, coords)
+    np.testing.assert_array_equal(blocks["c3d8"], hexes)
+    np.testing.assert_array_equal(blocks["s4"], quads)
+    pts2, conn2 = vtk.load_mesh(str(p), "c3d8")   # extension dispatch
+    np.testing.assert_array_equal(conn2, hexes)
+
+
+@pytest.mark.parametrize("etype,gen", [
+    ("c3d4", lambda: meshgen.box_tet(2, 2, 2)),
+    ("c3d10", lambda: meshgen.box_tet10(1, 1, 1)),
+    ("c3d6", lambda: meshgen.box_wedge(1, 1, 1)),
+])
+def test_vtu_roundtrip_types(tmp_path, etype, gen):
+    coords, conn = gen()
+    p = tmp_path / f"{etype}.vtu"
+    vtk.write_vtu(str(p), coords, {etype: conn})
+    pts, conn2 = vtk.load_mesh(str(p), etype)
+    np.testing.assert_allclose(pts, coords)
+    np.testing.assert_array_equal(conn2, conn)
+
+
+def test_vtu_ascii_and_inline_base64(tmp_path):
+    """Hand-built .vtu files in the formats write_vtu does not emit."""
+    coords, conn = meshgen.box_tet(1, 1, 1)
+    n, m = coords.shape[0], conn.shape[0]
+    offs = np.arange(1, m + 1) * 4
+    # ascii
+    pa = tmp_path / "ascii.vtu"
+    pa.write_text(
+        '<?xml version="1.0"?>\n'
+        '<VTKFile type="UnstructuredGrid" byte_order="LittleEndian">\n'
+        '<UnstructuredGrid>'
+        f'<Piece NumberOfPoints="{n}" NumberOfCells="{m}">\n'
+        '<Points><DataArray type="Float32" NumberOfComponents="3" '
+        'format="ascii">\n'
+        + " ".join(f"{v:.7g}" for v in coords.reshape(-1)) +
+        '</DataArray></Points>\n'
+        '<Cells><DataArray type="Int32" Name="connectivity" format="ascii">\n'
+        + " ".join(str(v) for v in conn.reshape(-1)) +
+        '</DataArray>\n'
+        '<DataArray type="Int32" Name="offsets" format="ascii">\n'
+        + " ".join(str(v) for v in offs) +
+        '</DataArray>\n'
+        '<DataArray type="UInt8" Name="types" format="ascii">\n'
+        + " ".join("10" for _ in range(m)) +
+        '</DataArray></Cells></Piece></UnstructuredGrid></VTKFile>\n')
+    pts, blocks = vtk.read_vtu(str(pa))
+    np.testing.assert_allclose(pts, coords, rtol=1e-6)
+    np.testing.assert_array_equal(blocks["c3d4"], conn)
+
+    # inline base64 (uncompressed, UInt32 headers)
+    import base64
+    import struct
+
+    def b64(arr):
+        raw = np.ascontiguousarray(arr).tobytes()
+        return base64.b64encode(struct.pack("<I", len(raw)) + raw).decode()
+
+    pb = tmp_path / "b64.vtu"
+    pb.write_text(
+        '<?xml version="1.0"?>\n'
+        '<VTKFile type="UnstructuredGrid" byte_order="LittleEndian" '
+        'header_type="UInt32">\n'
+        '<UnstructuredGrid>'
+        f'<Piece NumberOfPoints="{n}" NumberOfCells="{m}">\n'
+        '<Points><DataArray type="Float64" NumberOfComponents="3" '
+        'format="binary">' + b64(coords.astype("<f8")) +
+        '</DataArray></Points>\n'
+        '<Cells><DataArray type="Int64" Name="connectivity" format="binary">'
+        + b64(conn.astype("<i8")) + '</DataArray>\n'
+        '<DataArray type="Int64" Name="offsets" format="binary">'
+        + b64(offs.astype("<i8")) + '</DataArray>\n'
+        '<DataArray type="UInt8" Name="types" format="binary">'
+        + b64(np.full(m, 10, "u1")) + '</DataArray>'
+        '</Cells></Piece></UnstructuredGrid></VTKFile>\n')
+    pts, blocks = vtk.read_vtu(str(pb))
+    np.testing.assert_allclose(pts, coords)
+    np.testing.assert_array_equal(blocks["c3d4"], conn)
+
+
+def test_vtu_inline_base64_compressed(tmp_path):
+    """Compressed inline base64: header and body are separate segments."""
+    import base64
+    import struct
+    import zlib
+
+    coords, conn = meshgen.box_tet(1, 1, 1)
+    n, m = coords.shape[0], conn.shape[0]
+    offs = np.arange(1, m + 1) * 4
+
+    def b64z(arr):
+        raw = np.ascontiguousarray(arr).tobytes()
+        comp = zlib.compress(raw)
+        head = struct.pack("<QQQQ", 1, len(raw), len(raw), len(comp))
+        return (base64.b64encode(head).decode()
+                + base64.b64encode(comp).decode())
+
+    p = tmp_path / "b64z.vtu"
+    p.write_text(
+        '<?xml version="1.0"?>\n'
+        '<VTKFile type="UnstructuredGrid" byte_order="LittleEndian" '
+        'header_type="UInt64" compressor="vtkZLibDataCompressor">\n'
+        '<UnstructuredGrid>'
+        f'<Piece NumberOfPoints="{n}" NumberOfCells="{m}">\n'
+        '<Points><DataArray type="Float64" NumberOfComponents="3" '
+        'format="binary">' + b64z(coords.astype("<f8")) +
+        '</DataArray></Points>\n'
+        '<Cells><DataArray type="Int64" Name="connectivity" format="binary">'
+        + b64z(conn.astype("<i8")) + '</DataArray>\n'
+        '<DataArray type="Int64" Name="offsets" format="binary">'
+        + b64z(offs.astype("<i8")) + '</DataArray>\n'
+        '<DataArray type="UInt8" Name="types" format="binary">'
+        + b64z(np.full(m, 10, "u1")) + '</DataArray>'
+        '</Cells></Piece></UnstructuredGrid></VTKFile>\n')
+    pts, blocks = vtk.read_vtu(str(p))
+    np.testing.assert_allclose(pts, coords)
+    np.testing.assert_array_equal(blocks["c3d4"], conn)
+
+
 def test_h5_sample_roundtrip(tmp_path):
     import h5py
 

@@ -1,9 +1,16 @@
-"""Legacy VTK unstructured-grid reader/writer (no pyvista dependency).
+"""VTK unstructured-grid readers/writers (no pyvista dependency).
 
 Capability parity with reference vtk_loader_to_torch (solver/element.py:39-90)
-— that function shells out to pyvista, which is not available here; this is
-a self-contained parser for legacy .vtk files (ASCII and big-endian binary,
-DATASET UNSTRUCTURED_GRID), plus a writer for results inspection.
+— that function shells out to pyvista, which reads both the legacy .vtk
+format and the XML .vtu format that SimJEB-era pipelines actually emit.
+Self-contained parsers for both:
+
+* legacy .vtk — ASCII and big-endian binary, DATASET UNSTRUCTURED_GRID;
+* XML .vtu — ascii / inline-base64 / appended (raw and base64) data
+  arrays, optionally zlib-compressed (vtkZLibDataCompressor), both
+  UInt32 and UInt64 headers, either byte order;
+
+plus writers for results inspection and round-trip tests.
 
 VTK cell type ids <-> element types:
   10 c3d4, 24 c3d10, 12 c3d8, 25 c3d20, 13 c3d6, 26 c3d15,
@@ -11,7 +18,9 @@ VTK cell type ids <-> element types:
 """
 from __future__ import annotations
 
+import base64
 import struct
+import zlib
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -151,10 +160,229 @@ def read_vtk(path: str) -> Tuple[np.ndarray, Dict[str, np.ndarray]]:
     return points, out
 
 
+# ---------------------------------------------------------------------------
+# XML .vtu (the pyvista/VTK default output format)
+# ---------------------------------------------------------------------------
+
+_VTU_DTYPES = {
+    "float32": "f4", "float64": "f8", "int8": "i1", "uint8": "u1",
+    "int16": "i2", "uint16": "u2", "int32": "i4", "uint32": "u4",
+    "int64": "i8", "uint64": "u8",
+}
+
+
+def _vtu_decode(elem, appended: Optional[bytes], byte_order: str,
+                header_dtype, compressed: bool) -> np.ndarray:
+    """Decode one <DataArray> element to a flat numpy array."""
+    dt = np.dtype(byte_order + _VTU_DTYPES[elem.get("type").lower()])
+    fmt = (elem.get("format") or "ascii").lower()
+    if fmt == "ascii":
+        return np.array((elem.text or "").split(), dtype=dt)
+    hd = np.dtype(header_dtype)
+    if fmt == "binary":
+        txt = "".join((elem.text or "").split())
+        if compressed:
+            # header and body are SEPARATE base64 segments: decode enough
+            # chars for the block count, then the full header, then the body
+            first = base64.b64decode(txt[:4 * (-(-hd.itemsize // 3))])
+            nb = int(np.frombuffer(first, hd, 1, 0)[0])
+            hlen = (3 + nb) * hd.itemsize
+            hb64 = 4 * (-(-hlen // 3))
+            head = np.frombuffer(base64.b64decode(txt[:hb64]), hd, 3 + nb, 0)
+            raw = base64.b64decode(txt[hb64:])
+            pos = 0
+        else:
+            raw = base64.b64decode(txt)
+    elif fmt == "appended":
+        if appended is None:
+            raise ValueError("appended DataArray but no AppendedData section")
+        raw = appended[int(elem.get("offset", "0")):]
+        if compressed:
+            nb = int(np.frombuffer(raw, hd, 1, 0)[0])
+            head = np.frombuffer(raw, hd, 3 + nb, 0)
+            pos = (3 + nb) * hd.itemsize
+    else:
+        raise ValueError(f"unknown DataArray format {fmt!r}")
+    if compressed:
+        # header: [nblocks, blocksize, last_blocksize, compressed sizes...]
+        chunks = []
+        for s in head[3:]:
+            chunks.append(zlib.decompress(raw[pos:pos + int(s)]))
+            pos += int(s)
+        return np.frombuffer(b"".join(chunks), dtype=dt)
+    nbytes = int(np.frombuffer(raw, hd, 1, 0)[0])
+    return np.frombuffer(raw, dt, nbytes // dt.itemsize, hd.itemsize)
+
+
+def read_vtu(path: str) -> Tuple[np.ndarray, Dict[str, np.ndarray]]:
+    """Parse an XML .vtu unstructured grid.
+
+    Returns (points [N, 3] float64, {etype: connectivity [M_t, k]}) —
+    the same contract as read_vtk.  Handles ascii, inline-base64 and
+    appended (raw or base64) data, optionally zlib-compressed.
+    """
+    import xml.etree.ElementTree as ET
+
+    with open(path, "rb") as f:
+        data = f.read()
+
+    # appended raw bytes are not valid XML: split them out before parsing
+    appended = None
+    mark = data.find(b"<AppendedData")
+    if mark >= 0:
+        enc_m = data.find(b"encoding=", mark)
+        gt = data.find(b">", mark)
+        start = data.find(b"_", gt) + 1
+        end = data.rfind(b"</AppendedData>")
+        payload = data[start:end]
+        encoding = b"base64" if (0 <= enc_m < gt
+                                 and b"base64" in data[enc_m:gt]) else b"raw"
+        if encoding == b"base64":
+            appended = base64.b64decode(b"".join(payload.split()))
+        else:
+            appended = payload
+        data = data[:start] + data[end:]
+
+    root = ET.fromstring(data.decode("latin1"))
+    if root.tag.split("}")[-1] != "VTKFile":
+        raise ValueError(f"not a VTKFile: {root.tag}")
+    if (root.get("type") or "") != "UnstructuredGrid":
+        raise ValueError(f"not an UnstructuredGrid .vtu: {root.get('type')}")
+    byte_order = "<" if (root.get("byte_order", "LittleEndian")
+                         == "LittleEndian") else ">"
+    header_dtype = byte_order + _VTU_DTYPES[
+        (root.get("header_type") or "UInt32").lower()]
+    compressed = root.get("compressor") is not None
+
+    def find(el, tag):
+        for child in el.iter():
+            if child.tag.split("}")[-1] == tag:
+                yield child
+
+    points_list = []
+    blocks: Dict[str, list] = {}
+    n_prev = 0
+    for piece in find(root, "Piece"):
+        n_pts = int(piece.get("NumberOfPoints"))
+        pts_el = next(iter(find(next(iter(find(piece, "Points"))),
+                                "DataArray")))
+        pts = _vtu_decode(pts_el, appended, byte_order, header_dtype,
+                          compressed).astype(np.float64)
+        points_list.append(pts.reshape(n_pts, 3))
+        arrays = {}
+        for da in find(next(iter(find(piece, "Cells"))), "DataArray"):
+            arrays[da.get("Name")] = _vtu_decode(
+                da, appended, byte_order, header_dtype, compressed
+            ).astype(np.int64)
+        conn, offs, types = (arrays["connectivity"], arrays["offsets"],
+                             arrays["types"])
+        begin = np.concatenate([[0], offs[:-1]])
+        for ci, ct in enumerate(types):
+            et = VTK_TO_ETYPE.get(int(ct))
+            if et is None:
+                continue
+            blocks.setdefault(et, []).append(
+                conn[begin[ci]:offs[ci]] + n_prev)
+        n_prev += n_pts
+    points = np.concatenate(points_list, axis=0)
+    out = {et: np.stack(v).astype(np.int32) for et, v in blocks.items()}
+    return points, out
+
+
+def write_vtu(path: str, points, blocks: Dict[str, np.ndarray],
+              point_data: Optional[Dict[str, np.ndarray]] = None,
+              compress: bool = False) -> None:
+    """Write a .vtu (appended raw encoding, little-endian, UInt64 headers,
+    optional single-block zlib compression) with optional nodal data."""
+    points = np.ascontiguousarray(np.asarray(points, dtype=np.float64))
+    n_pts = points.shape[0]
+    conn_parts, offs_parts, type_parts = [], [], []
+    base = 0
+    ncells = 0
+    for et, conn in blocks.items():
+        conn = np.asarray(conn, dtype=np.int64)
+        m, k = conn.shape
+        conn_parts.append(conn.reshape(-1))
+        offs_parts.append(base + np.arange(1, m + 1, dtype=np.int64) * k)
+        base = int(offs_parts[-1][-1])
+        type_parts.append(np.full(m, ETYPE_TO_VTK[et.lower()], np.uint8))
+        ncells += m
+    conn_all = (np.concatenate(conn_parts) if conn_parts
+                else np.zeros(0, np.int64))
+    offs_all = (np.concatenate(offs_parts) if offs_parts
+                else np.zeros(0, np.int64))
+    types_all = (np.concatenate(type_parts) if type_parts
+                 else np.zeros(0, np.uint8))
+
+    payload = bytearray()
+    entries = []                   # (name inserted later via offsets)
+
+    def append(arr) -> int:
+        raw = np.ascontiguousarray(arr).tobytes()
+        off = len(payload)
+        if compress:
+            comp = zlib.compress(raw)
+            payload.extend(struct.pack("<QQQQ", 1, len(raw), len(raw),
+                                       len(comp)))
+            payload.extend(comp)
+        else:
+            payload.extend(struct.pack("<Q", len(raw)))
+            payload.extend(raw)
+        return off
+
+    pts_off = append(points)
+    conn_off = append(conn_all)
+    offs_off = append(offs_all)
+    types_off = append(types_all)
+    pd_entries = []
+    if point_data:
+        for name, arr in point_data.items():
+            arr = np.asarray(arr, dtype=np.float64)
+            ncomp = 1 if arr.ndim == 1 else arr.shape[1]
+            pd_entries.append((name, ncomp, append(arr)))
+
+    with open(path, "wb") as f:
+        comp_attr = (' compressor="vtkZLibDataCompressor"' if compress
+                     else "")
+        f.write((
+            '<?xml version="1.0"?>\n'
+            '<VTKFile type="UnstructuredGrid" version="1.0" '
+            f'byte_order="LittleEndian" header_type="UInt64"{comp_attr}>\n'
+            '  <UnstructuredGrid>\n'
+            f'    <Piece NumberOfPoints="{n_pts}" NumberOfCells="{ncells}">\n'
+            '      <Points>\n'
+            '        <DataArray type="Float64" NumberOfComponents="3" '
+            f'format="appended" offset="{pts_off}"/>\n'
+            '      </Points>\n'
+            '      <Cells>\n'
+            '        <DataArray type="Int64" Name="connectivity" '
+            f'format="appended" offset="{conn_off}"/>\n'
+            '        <DataArray type="Int64" Name="offsets" '
+            f'format="appended" offset="{offs_off}"/>\n'
+            '        <DataArray type="UInt8" Name="types" '
+            f'format="appended" offset="{types_off}"/>\n'
+            '      </Cells>\n').encode())
+        if pd_entries:
+            f.write(b'      <PointData>\n')
+            for name, ncomp, off in pd_entries:
+                f.write((
+                    f'        <DataArray type="Float64" Name="{name}" '
+                    f'NumberOfComponents="{ncomp}" format="appended" '
+                    f'offset="{off}"/>\n').encode())
+            f.write(b'      </PointData>\n')
+        f.write(b'    </Piece>\n  </UnstructuredGrid>\n'
+                b'  <AppendedData encoding="raw">\n_')
+        f.write(bytes(payload))
+        f.write(b'\n  </AppendedData>\n</VTKFile>\n')
+
+
 def load_mesh(path: str, element_type: Optional[str] = None
               ) -> Tuple[np.ndarray, np.ndarray]:
-    """(points, conn) for one element type — vtk_loader_to_torch parity."""
-    points, blocks = read_vtk(path)
+    """(points, conn) for one element type — vtk_loader_to_torch parity.
+
+    Dispatches on extension: .vtu -> XML reader, anything else -> legacy."""
+    reader = read_vtu if path.lower().endswith(".vtu") else read_vtk
+    points, blocks = reader(path)
     if element_type is None:
         if len(blocks) != 1:
             raise ValueError(f"mesh has multiple cell types {list(blocks)}; "

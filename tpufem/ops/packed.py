@@ -1053,30 +1053,156 @@ class BlockJacobi:
 
 
 # ---------------------------------------------------------------------------
+# constraints in the packed layout (SPC values / RBE2 / RBE3)
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PackedConstraints:
+    """SPC / RBE2 / RBE3 enforcement directly on packed [Nb, 384] fields.
+
+    Round 3's PackedSystem supported only a fixed-node zero mask, so the
+    reference's constrained workloads (RBE2 masters on SimJEB h5 samples,
+    solver/solver.py:478-510, 665-700) could not use the fast operator.
+    This carries the solvers.constraints tables with every DOF index
+    translated to its packed flat position (row * 384 + comp * 128 +
+    node % 128 after the plan's node renumbering), so apply_state /
+    project_residual run in-layout: the masks are dense elementwise
+    passes and the RBE2/RBE3 sets are tiny sparse gather/scatters (the
+    constraint sets are O(surface), not O(N)).  Deterministic: fixed
+    segment-sum order, same semantics as solvers.constraints.Constraints.
+    """
+
+    mask: jnp.ndarray          # [Nb, 384] 1.0 free / 0.0 constrained
+    spc_const: jnp.ndarray     # [Nb, 384] SPC values (else zeros)
+    rbe2_slave: jnp.ndarray    # [R2] int32 packed flat dof
+    rbe2_master: jnp.ndarray   # [R2] int32
+    rbe3_slave: jnp.ndarray    # [R3] int32
+    rbe3_weights: jnp.ndarray  # [R3]
+    rbe3_cid: jnp.ndarray      # [R3] int32
+    rbe3_master: jnp.ndarray   # [C3] int32
+    rbe3_wsum: jnp.ndarray     # [C3]
+    has_spc: bool = dataclasses.field(default=False,
+                                      metadata=dict(static=True))
+
+    @staticmethod
+    def build(cons, plan: PackedPlan, dtype=np.float32
+              ) -> "PackedConstraints":
+        """From a solvers.constraints.Constraints (3- or 6-DOF tables;
+        rotational DOFs are dropped — the packed operator is solid-only,
+        matching the reference where solids only carry u[:, :3])."""
+        m = plan.meta
+        nd = cons.meta.dof_per_node
+        new_from_old = np.asarray(plan.new_from_old).astype(np.int64)
+
+        def pidx(dofs):
+            dofs = np.asarray(dofs, np.int64)
+            node, d = dofs // nd, dofs % nd
+            nn = new_from_old[node]
+            return ((nn // BLK) * ROW + d * BLK + nn % BLK).astype(np.int32)
+
+        def keep(dofs):
+            return np.asarray(dofs, np.int64) % nd < 3
+
+        mask_n = np.asarray(cons.mask2d)[:, :3].astype(dtype)
+        spc_n = np.asarray(cons.spc_const2d)[:, :3].astype(dtype)
+
+        r2s = np.asarray(cons.rbe2_slave_dofs, np.int64)
+        r2m = np.asarray(cons.rbe2_master_dofs, np.int64)
+        k2 = keep(r2s) if r2s.size else np.zeros(0, bool)
+        r3s = np.asarray(cons.rbe3_slave_dofs, np.int64)
+        k3 = keep(r3s) if r3s.size else np.zeros(0, bool)
+        r3w = np.asarray(cons.rbe3_weights)[k3].astype(dtype)
+        r3c = np.asarray(cons.rbe3_cid, np.int64)[k3]
+        # masters whose constraint lost all entries keep weight sum; the
+        # segment-sum over the filtered entries still uses original ids
+        r3m_all = np.asarray(cons.rbe3_master_dofs, np.int64)
+        r3ws_all = np.asarray(cons.rbe3_weight_sums)
+        km = keep(r3m_all) if r3m_all.size else np.zeros(0, bool)
+        # rotation-dof rbe3 rows are dropped entirely; remap cids
+        cid_map = -np.ones(r3m_all.size, np.int64)
+        cid_map[np.nonzero(km)[0]] = np.arange(int(km.sum()))
+        sel3 = (cid_map[r3c] >= 0) if r3c.size else np.zeros(0, bool)
+
+        i32 = lambda a: jnp.asarray(np.asarray(a).astype(np.int32))  # noqa
+        return PackedConstraints(
+            mask=jnp.asarray(plan.pack_np(mask_n)),
+            spc_const=jnp.asarray(plan.pack_np(spc_n)),
+            rbe2_slave=i32(pidx(r2s[k2])),
+            rbe2_master=i32(pidx(r2m[k2])),
+            rbe3_slave=i32(pidx(r3s[k3][sel3])),
+            rbe3_weights=jnp.asarray(r3w[sel3]),
+            rbe3_cid=i32(cid_map[r3c[sel3]]),
+            rbe3_master=i32(pidx(r3m_all[km])),
+            rbe3_wsum=jnp.asarray(r3ws_all[km].astype(dtype)),
+            has_spc=bool(np.any(spc_n)),
+        )
+
+    @staticmethod
+    def fixed(plan: PackedPlan, fixed_nodes, dtype=np.float32
+              ) -> "PackedConstraints":
+        from ..solvers.constraints import Constraints
+        cons = Constraints.fixed(plan.meta.n_nodes,
+                                 fixed_nodes if fixed_nodes is not None
+                                 else [], 3, dtype=dtype)
+        return PackedConstraints.build(cons, plan, dtype)
+
+    def apply_state(self, X):
+        out = X * self.mask.astype(X.dtype)
+        if self.has_spc:
+            out = out + self.spc_const.astype(X.dtype)
+        if self.rbe2_slave.size or self.rbe3_slave.size:
+            shape = out.shape
+            xf = out.reshape(-1)
+            if self.rbe2_slave.size:
+                xf = xf.at[self.rbe2_slave].set(xf[self.rbe2_master])
+            if self.rbe3_slave.size:
+                num = jax.ops.segment_sum(
+                    self.rbe3_weights.astype(xf.dtype)
+                    * xf[self.rbe3_slave],
+                    self.rbe3_cid, num_segments=self.rbe3_master.shape[0])
+                xf = xf.at[self.rbe3_master].set(
+                    num / self.rbe3_wsum.astype(xf.dtype))
+            out = xf.reshape(shape)
+        return out
+
+    def project_residual(self, r):
+        return r * self.mask.astype(r.dtype)
+
+
+# ---------------------------------------------------------------------------
 # one-call packed PCG system
 # ---------------------------------------------------------------------------
 
 class PackedSystem:
     """Packed-layout PCG convenience wrapper.
 
-    Holds the operator plus packed constraint mask / Jacobi preconditioner;
-    `solve` runs solvers.cg entirely in the [Nb, 384] layout (vectors,
-    masks, dots — every elementwise pass is dense) and unpacks the result.
+    Holds the operator plus packed constraints (fixed nodes, or full
+    SPC/RBE2/RBE3 via a solvers.constraints.Constraints) and the Jacobi /
+    block-Jacobi preconditioner; `solve` runs solvers.cg entirely in the
+    [Nb, 384] layout (vectors, masks, dots — every elementwise pass is
+    dense) and unpacks the result.
     """
 
     def __init__(self, op: PackedPartialOperator, fixed_nodes=None,
-                 precondition="jacobi"):
+                 precondition="jacobi", constraints=None):
         """precondition: "jacobi" (scalar diagonal, reference parity),
         "block" (exact 3x3 node-block inverse — fewer iterations on
-        elasticity), or False/None."""
+        elasticity), or False/None.  constraints: optional
+        solvers.constraints.Constraints (SPC/RBE2/RBE3); fixed_nodes is
+        the simple all-DOF-pin shortcut."""
         self.op = op
         plan = op.plan
-        N = plan.meta.n_nodes
-        mask_n = np.ones((N, 3), np.dtype(jax.dtypes.canonicalize_dtype(
-            op.W.dtype)))
-        if fixed_nodes is not None:
-            mask_n[np.asarray(fixed_nodes)] = 0.0
-        self.mask = jnp.asarray(plan.pack_np(mask_n))
+        dtype = np.dtype(jax.dtypes.canonicalize_dtype(op.W.dtype))
+        if constraints is not None:
+            self.pc = PackedConstraints.build(constraints, plan, dtype)
+            self._has_sets = bool(constraints.spc_values.size) or bool(
+                constraints.rbe2_slave_dofs.size) or bool(
+                constraints.rbe3_slave_dofs.size)
+        else:
+            self.pc = PackedConstraints.fixed(plan, fixed_nodes, dtype)
+            self._has_sets = False
+        self.mask = self.pc.mask
         if precondition == "block":
             self.M_inv = BlockJacobi.build(op, mask=self.mask)
         elif precondition:          # "jacobi" / True
@@ -1089,16 +1215,7 @@ class PackedSystem:
         self._solve = {}
 
     def constraints(self):
-        mask = self.mask
-
-        class _M:
-            def project_residual(self, r):
-                return r * mask
-
-            def apply_state(self, u):
-                return u * mask
-
-        return _M()
+        return self.pc
 
     def solve(self, b, x0=None, tol: float = 1e-8, max_iter: int = 1000,
               dot_dtype=None):
@@ -1108,8 +1225,8 @@ class PackedSystem:
         plan = self.op.plan
         key = (float(tol), int(max_iter), str(dot_dtype))
         if key not in self._solve:
-            def run(op, bX, x0X, mask, minv):
-                u, info = cg(op, bX * mask, constraints=self.constraints(),
+            def run(op, bX, x0X, pc, minv):
+                u, info = cg(op, pc.project_residual(bX), constraints=pc,
                              M_inv=minv, x0=x0X, tol=tol, max_iter=max_iter,
                              dot_dtype=dot_dtype)
                 return u, info
@@ -1117,7 +1234,7 @@ class PackedSystem:
         bX = plan.pack(jnp.asarray(b, self.mask.dtype))
         x0X = (plan.pack(jnp.asarray(x0, self.mask.dtype))
                if x0 is not None else jnp.zeros_like(bX))
-        uX, info = self._solve[key](self.op, bX, x0X, self.mask,
+        uX, info = self._solve[key](self.op, bX, x0X, self.pc,
                                     self.M_inv if self.M_inv is not None
                                     else jnp.ones_like(bX))
         return plan.unpack(uX), info

@@ -118,6 +118,135 @@ def expand(xw, wslot, jslot, lconn, *, tile: int = 64,
 
 
 # ---------------------------------------------------------------------------
+# planar-I/O expand / compress (round 4): the element compute consumes
+# [3, k, B, E_c] planes; the round-3 pipeline produced lane-major
+# [B, 3, Rp] and paid two full XLA transpose passes per apply
+# (_lanes_to_planar / _planar_to_lanes — ~3 GB of HBM traffic at 5.14M
+# elements).  These variants write / read the planar layout DIRECTLY:
+# inside the kernel a (c, kk) plane is just a 32-lane slice of the
+# gathered 128-lane chunk (lane slice + lane concat only — Mosaic has no
+# sublane<->lane shape casts, measured by scripts/probe_reshape.py).
+# ---------------------------------------------------------------------------
+
+def _expand_planar_kernel(xw_ref, wslot_ref, jslot_ref, lconn_ref, out_ref,
+                          *, TB: int, Wn: int, k: int, E_c: int):
+    wslot = wslot_ref[:]
+    jslot = jslot_ref[:]
+    uc = [jnp.zeros((TB, 128), out_ref.dtype) for _ in range(3)]
+    for w in range(Wn):
+        hit = wslot == w
+        for c in range(3):
+            src = xw_ref[:, w, c * 128:(c + 1) * 128]
+            g = _lane_gather(src, jslot)
+            uc[c] = uc[c] + jnp.where(hit, g, 0.0)
+    per = 128 // E_c
+    Gv = -(-k // per)
+    lconn = lconn_ref[:]
+    for c in range(3):
+        for g in range(Gv):
+            ch = _lane_gather(uc[c], lconn[:, g * 128:(g + 1) * 128])
+            for i in range(per):
+                kk = g * per + i
+                if kk >= k:
+                    break
+                out_ref[c, kk, :, :] = ch[:, i * E_c:(i + 1) * E_c]
+
+
+def expand_planar(xw, wslot, jslot, lconn, k, E_c, *, tile: int = 64,
+                  interpret: bool = False):
+    """[B, Wn, 384] window rows -> planar ue [3, k, B, E_c].
+
+    Same two-hop gather as `expand`, but the output is written directly in
+    the element-compute layout (no XLA transpose pass needed)."""
+    B, Wn, _ = xw.shape
+    Rp = lconn.shape[1]
+    assert 128 % E_c == 0
+    itemsize = jnp.dtype(xw.dtype).itemsize
+    TB = _fit_tile(tile, B, (Wn * 384 + 3 * (k + 2) * E_c) * itemsize
+                   + (256 + Rp) * 4)
+    kern = functools.partial(_expand_planar_kernel, TB=TB, Wn=Wn, k=k,
+                             E_c=E_c)
+    return pl.pallas_call(
+        kern,
+        grid=(B // TB,),
+        in_specs=[
+            pl.BlockSpec((TB, Wn, 384), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, Rp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((3, k, TB, E_c), lambda i: (0, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, k, B, E_c), xw.dtype),
+        interpret=interpret,
+    )(xw, wslot, jslot, lconn)
+
+
+def _compress_planar_kernel(fe_ref, cinc_ref, out_ref, *, TB: int, k: int,
+                            E_c: int, v_widths: tuple):
+    per = 128 // E_c
+    cinc = cinc_ref[:]
+    acc = [jnp.zeros((TB, 128), out_ref.dtype) for _ in range(3)]
+    zero = jnp.zeros((TB, E_c), out_ref.dtype)
+    off = 0
+    for g, vg in enumerate(v_widths):
+        if vg == 0:
+            off += vg
+            continue
+        src = []
+        for c in range(3):
+            parts = [fe_ref[c, g * per + i, :, :] if g * per + i < k else zero
+                     for i in range(per)]
+            src.append(jnp.concatenate(parts, axis=1))
+        for v in range(vg):
+            vi = off + v
+            byte = jax.lax.shift_right_logical(
+                cinc[:, vi // 4, :], jnp.int32(8 * (vi % 4))) & 0xFF
+            valid = byte > 0
+            idx = jnp.maximum(byte - 1, 0)
+            for c in range(3):
+                gth = _lane_gather(src[c], idx)
+                acc[c] = acc[c] + jnp.where(valid, gth, 0.0)
+        off += vg
+    for c in range(3):
+        out_ref[:, c * 128:(c + 1) * 128] = acc[c]
+
+
+def compress_planar(fe3, cinc, v_widths, *, tile: int = 64,
+                    interpret: bool = False):
+    """Planar Fe [3, k, B, E_c] -> Yc [B, 384] via incidence gathers.
+
+    Same summation order as compress_gather (bitwise-equal results); reads
+    the element-compute layout directly, so no transpose pass."""
+    _, k, B, E_c = fe3.shape
+    assert 128 % E_c == 0
+    itemsize = jnp.dtype(fe3.dtype).itemsize
+    TB = _fit_tile(tile, B, (3 * (k + 4) * E_c + 384) * itemsize
+                   + cinc.shape[1] * 128 * 4)
+    kern = functools.partial(_compress_planar_kernel, TB=TB, k=k, E_c=E_c,
+                             v_widths=tuple(v_widths))
+    Vsum = cinc.shape[1]
+    return pl.pallas_call(
+        kern,
+        grid=(B // TB,),
+        in_specs=[
+            pl.BlockSpec((3, k, TB, E_c), lambda i: (0, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, Vsum, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TB, 384), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 384), fe3.dtype),
+        interpret=interpret,
+    )(fe3, cinc)
+
+
+# ---------------------------------------------------------------------------
 # compress: per-slot incidence lane-gathers (no one-hot, no MXU)
 # ---------------------------------------------------------------------------
 
