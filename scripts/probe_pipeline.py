@@ -69,7 +69,13 @@ def main():
           flush=True)
 
     def yc_stage(opx, Xp, mode):
-        """Production Yc loop with surgical stage replacements."""
+        """Production Yc loop with surgical stage replacements.
+
+        PINNED to ops/packed.py PackedPartialOperator.__call__/_yc_chunk
+        as of round 4 — this mirrors the production stage structure by
+        hand so modes can replace individual stages; if packed.py's
+        pipeline changes, update this or the probe numbers are
+        misleading (ADVICE r3)."""
         fl = opx.flags
         lam, mu = opx.lam_mu
         Yc = jnp.zeros((m.n_clusters, ROW), Xp.dtype)

@@ -377,3 +377,109 @@ def test_packed_constraints_fixed_equivalence():
     np.testing.assert_array_equal(np.asarray(pc.apply_state(X)),
                                   np.asarray(X * pc.mask))
     assert pc.rbe2_slave.size == 0 and pc.rbe3_slave.size == 0
+
+
+def _yc_staged(op, X):
+    """Reference staged Yc (expand -> planar pa -> compress), one bucket at
+    a time, mirroring PackedPartialOperator._yc_chunk without chunk splits."""
+    import jax
+    from tpufem.ops import packed_kernels as pk
+    from tpufem.ops.packed import ROW, pa_apply_planar
+
+    m = op.plan.meta
+    lam, mu = op.lam_mu
+    Xp = jnp.concatenate([X, jnp.zeros((1, ROW), X.dtype)], axis=0)
+    Yc = jnp.zeros((m.n_clusters, ROW), X.dtype)
+    for gi, (s, n, wk) in enumerate(m.c_groups):
+        if wk == 0 or n == 0:
+            continue
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, s, n, 0)
+        Xw = Xp[sl(op.plan.win_nodes)[:, :wk]]
+        ue = pk.expand(Xw, sl(op.plan.wslot), sl(op.plan.jslot),
+                       sl(op.plan.lconn), interpret=True)
+        ue3 = op._lanes_to_planar(ue, m.nodes_per_elem, m.elems_per_cluster)
+        Jc = jax.lax.dynamic_slice_in_dim(op.Jinv, s, n, 2)
+        Wc = jax.lax.dynamic_slice_in_dim(op.W, s, n, 1)
+        fe3 = pa_apply_planar(ue3, Jc, Wc, op.dN.array, lam, mu)
+        Fe = op._planar_to_lanes(fe3, m.lanes)
+        Yc = jax.lax.dynamic_update_slice_in_dim(
+            Yc, pk.compress_gather(Fe, op.plan.cinc[gi], m.cv_widths[gi],
+                                   interpret=True), s, 0)
+    return Yc
+
+
+def test_planar_kernels_match_staged():
+    """expand_planar / compress_planar == the lane-major staged pipeline
+    (bitwise: same gather order, same summation order)."""
+    import jax
+    from tpufem.ops import packed_kernels as pk
+    from tpufem.ops.packed import ROW, pa_apply_planar
+
+    coords, conn = meshgen.box_tet10(3, 3, 3)
+    N = coords.shape[0]
+    op = PackedPartialOperator.build(jnp.asarray(coords, jnp.float64), conn,
+                                     "c3d10", E, NU, n_nodes=N,
+                                     interpret=True)
+    m = op.plan.meta
+    lam, mu = op.lam_mu
+    X = jnp.asarray(op.plan.pack_np(np.random.default_rng(3)
+                                    .standard_normal((N, 3))))
+    Yc_ref = np.asarray(_yc_staged(op, X))
+    Xp = jnp.concatenate([X, jnp.zeros((1, ROW), X.dtype)], axis=0)
+    Yc = np.zeros_like(Yc_ref)
+    for gi, (s, n, wk) in enumerate(m.c_groups):
+        if wk == 0 or n == 0:
+            continue
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, s, n, 0)
+        Xw = Xp[sl(op.plan.win_nodes)[:, :wk]]
+        ue3 = pk.expand_planar(Xw, sl(op.plan.wslot), sl(op.plan.jslot),
+                               sl(op.plan.lconn), m.nodes_per_elem,
+                               m.elems_per_cluster, interpret=True)
+        Jc = jax.lax.dynamic_slice_in_dim(op.Jinv, s, n, 2)
+        Wc = jax.lax.dynamic_slice_in_dim(op.W, s, n, 1)
+        fe3 = pa_apply_planar(ue3, Jc, Wc, op.dN.array, lam, mu)
+        out = pk.compress_planar(fe3, op.plan.cinc[gi], m.cv_widths[gi],
+                                 interpret=True)
+        Yc[s:s + n] = np.asarray(out)
+    np.testing.assert_array_equal(Yc, Yc_ref)
+
+
+@pytest.mark.parametrize("mode", ["narrow", "dense"])
+def test_fused_kernel_matches_staged(mode):
+    """The one-pass fused cluster kernel == the staged pipeline (same
+    operation order -> tight tolerance; dense mode relayouts are pure
+    data movement)."""
+    import jax
+    from tpufem.ops import fused_kernels as fk
+    from tpufem.ops.packed import ROW
+
+    coords, conn = meshgen.box_tet10(3, 3, 3)
+    N = coords.shape[0]
+    op = PackedPartialOperator.build(jnp.asarray(coords, jnp.float64), conn,
+                                     "c3d10", E, NU, n_nodes=N,
+                                     interpret=True)
+    m = op.plan.meta
+    lam, mu = op.lam_mu
+    qJ = op.Jinv.shape[0]
+    q = op.W.shape[0]
+    JinvB = jnp.transpose(op.Jinv, (2, 0, 1, 3)).reshape(
+        m.n_clusters, qJ * 9, m.elems_per_cluster)
+    WB = jnp.transpose(op.W, (1, 0, 2))
+    X = jnp.asarray(op.plan.pack_np(np.random.default_rng(4)
+                                    .standard_normal((N, 3))))
+    Yc_ref = np.asarray(_yc_staged(op, X))
+    Xp = jnp.concatenate([X, jnp.zeros((1, ROW), X.dtype)], axis=0)
+    Yc = np.zeros_like(Yc_ref)
+    for gi, (s, n, wk) in enumerate(m.c_groups):
+        if wk == 0 or n == 0:
+            continue
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, s, n, 0)
+        Xw = Xp[sl(op.plan.win_nodes)[:, :wk]]
+        out = fk.fused_yc(
+            Xw, sl(op.plan.wslot), sl(op.plan.jslot), sl(op.plan.lconn),
+            op.plan.cinc[gi], sl(JinvB), sl(WB), op.dN.array, lam, mu,
+            m.cv_widths[gi], k=m.nodes_per_elem, E_c=m.elems_per_cluster,
+            mode=mode, interpret=True)
+        Yc[s:s + n] = np.asarray(out)
+    scale = np.abs(Yc_ref).max()
+    np.testing.assert_allclose(Yc, Yc_ref, rtol=1e-12, atol=1e-14 * scale)

@@ -465,13 +465,24 @@ class PackedPlan:
         win_nodes = np.where(win_nodes < Nb,
                              bpos[np.minimum(win_nodes, Nb - 1)], Nb)
         winc = winc[bperm]
-        # byte-pack slotidx 4 windows per int32 word (value = slot + 1)
+        # byte-pack slotidx 4 windows per int32 word (value = slot + 1),
+        # in row chunks: a full-size uint32 temp plus the permuted copy
+        # peaked at ~3x the packed table (~5 GB transient at 5M elements,
+        # ADVICE r3) — chunking bounds the transient to ~250 MB
         Wcp4 = max(-(-Wc // 4), 1)
-        sv = np.zeros((Nb, Wcp4 * 4, BLK), np.uint32)
-        sv[:, :Wc] = (slotidx[bperm].astype(np.int64) + 1).astype(np.uint32)
-        slotidx = np.ascontiguousarray(
-            sv[:, 0::4] | (sv[:, 1::4] << 8) | (sv[:, 2::4] << 16)
-            | (sv[:, 3::4] << 24)).view(np.int32)
+        packed_si = np.empty((Nb, Wcp4, BLK), np.int32)
+        CH = 1 << 13
+        sv = np.zeros((min(CH, Nb), Wcp4 * 4, BLK), np.uint32)
+        for r0 in range(0, Nb, CH):
+            r1 = min(r0 + CH, Nb)
+            svc = sv[:r1 - r0]
+            svc[:, Wc:] = 0
+            svc[:, :Wc] = (slotidx[bperm[r0:r1]].astype(np.int64) + 1
+                           ).astype(np.uint32)
+            packed_si[r0:r1] = (svc[:, 0::4] | (svc[:, 1::4] << 8)
+                                | (svc[:, 2::4] << 16)
+                                | (svc[:, 3::4] << 24)).view(np.int32)
+        slotidx = packed_si
         # cluster permutation: rows of cluster tables; values of winc
         win_nodes = win_nodes[cperm]
         wslot = wslot[cperm]

@@ -359,6 +359,9 @@ def combine(ycw, slotidx, wc=None, *, tile: int = 64,
     if wc is None:
         wc = Wc
     Wp = slotidx.shape[1]
+    # a mismatched call site would make the kernel read slotidx words out
+    # of the block bounds silently in compiled mode (ADVICE r3)
+    assert wc <= min(4 * Wp, Wc), (wc, Wp, Wc)
     itemsize = jnp.dtype(ycw.dtype).itemsize
     TJ = _fit_tile(tile, Nb, Wc * 384 * itemsize + Wp * 128 * 4
                    + 384 * itemsize)
