@@ -74,3 +74,58 @@ def test_hybrid_single_part_degenerates_to_direct():
     u_ref = _direct(coords, conn, fixed, b)
     np.testing.assert_allclose(np.asarray(u), u_ref, rtol=1e-8,
                                atol=1e-10 * np.abs(u_ref).max())
+
+
+def test_hybrid_nn_and_bdd_preconditioners():
+    """Neumann-Neumann and BDD (rigid coarse) interface preconditioning:
+    correct solutions and fewer interface-CG iterations than Jacobi
+    (VERDICT r3 item 6)."""
+    import jax
+
+    coords, conn = meshgen.box_tet(4, 4, 8, 1, 1, 2)
+    N = coords.shape[0]
+    fixed = meshgen.boundary_nodes(coords, 2, 0.0)
+    b = np.zeros((N, 3))
+    b[meshgen.boundary_nodes(coords, 2, 2.0), 0] = 1.0
+    u_ref = _direct(coords, conn, fixed, b)
+    iters = {}
+    for precond in ("jacobi", "nn", "bdd"):
+        sys_ = build_hybrid(coords, conn, "c3d4", E, NU, 8,
+                            fixed_nodes=fixed, precondition=precond)
+        bj = jnp.asarray(b).at[jnp.asarray(np.asarray(fixed))].set(0.0)
+        u, info = jax.jit(lambda sy, ff: sy.solve(
+            ff, tol=1e-11, max_iter=800))(sys_, bj)
+        assert int(info.status) == cgmod.CONVERGED, precond
+        iters[precond] = int(info.iterations)
+        np.testing.assert_allclose(np.asarray(u), u_ref, rtol=1e-6,
+                                   atol=1e-9 * np.abs(u_ref).max(),
+                                   err_msg=precond)
+    # Measured spectra (box_tet(3,3,6), 6 parts): cond(MS) jacobi 883,
+    # nn 3788 (no coarse coupling -> lambda_min collapses), bdd 80.
+    # The scalable preconditioner is bdd; nn is its local building block.
+    assert iters["bdd"] < iters["jacobi"]
+    assert iters["bdd"] <= iters["nn"]
+    print("iters:", iters)
+
+
+def test_hybrid_bdd_iterations_bounded_in_parts():
+    """The rigid-body coarse space keeps iteration growth mild as the
+    part count increases (the scalability property Jacobi lacks)."""
+    import jax
+
+    coords, conn = meshgen.box_tet(4, 4, 12, 1, 1, 3)
+    N = coords.shape[0]
+    fixed = meshgen.boundary_nodes(coords, 2, 0.0)
+    b = np.zeros((N, 3))
+    b[meshgen.boundary_nodes(coords, 2, 3.0), 2] = -1.0
+    its = []
+    for n_parts in (3, 12):
+        sys_ = build_hybrid(coords, conn, "c3d4", E, NU, n_parts,
+                            fixed_nodes=fixed, precondition="bdd")
+        bj = jnp.asarray(b).at[jnp.asarray(np.asarray(fixed))].set(0.0)
+        u, info = jax.jit(lambda sy, ff: sy.solve(
+            ff, tol=1e-10, max_iter=800))(sys_, bj)
+        assert int(info.status) == cgmod.CONVERGED
+        its.append(int(info.iterations))
+    # 4x the parts must cost at most ~2x the iterations
+    assert its[1] <= 2 * its[0] + 10, its
