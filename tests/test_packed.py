@@ -483,3 +483,48 @@ def test_fused_kernel_matches_staged(mode):
         Yc[s:s + n] = np.asarray(out)
     scale = np.abs(Yc_ref).max()
     np.testing.assert_allclose(Yc, Yc_ref, rtol=1e-12, atol=1e-14 * scale)
+
+
+def test_plan_save_load_roundtrip(tmp_path):
+    coords, conn = meshgen.box_tet10(3, 3, 3)
+    N = coords.shape[0]
+    plan = PackedPlan.build(coords, conn, N)
+    plan.save(str(tmp_path / "plan"))
+    plan2 = PackedPlan.load(str(tmp_path / "plan"))
+    assert plan2.meta == plan.meta
+    for name in ("win_nodes", "wslot", "jslot", "lconn", "winc", "slotidx",
+                 "new_from_old", "old_from_new", "esrc"):
+        np.testing.assert_array_equal(np.asarray(getattr(plan2, name)),
+                                      np.asarray(getattr(plan, name)))
+    for a, b in zip(plan2.cinc, plan.cinc):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # an operator built on the loaded plan applies identically
+    op = PackedPartialOperator.build(jnp.asarray(coords), conn, "c3d10",
+                                     E, NU, n_nodes=N, interpret=True)
+    op2 = PackedPartialOperator.build(jnp.asarray(coords), conn, "c3d10",
+                                      E, NU, plan=plan2, interpret=True)
+    u = np.random.default_rng(3).standard_normal((N, 3))
+    X = plan.pack(jnp.asarray(u))
+    np.testing.assert_array_equal(np.asarray(op(X)), np.asarray(op2(X)))
+
+
+@pytest.mark.parametrize("mode", ["narrow", "dense"])
+def test_operator_fuse_flag_matches_staged(mode):
+    coords, conn = meshgen.box_tet10(3, 3, 3)
+    N = coords.shape[0]
+    op_s = PackedPartialOperator.build(jnp.asarray(coords), conn, "c3d10",
+                                       E, NU, n_nodes=N, interpret=True,
+                                       fuse="")
+    op_f = PackedPartialOperator.build(jnp.asarray(coords), conn, "c3d10",
+                                       E, NU, plan=op_s.plan, interpret=True,
+                                       fuse=mode)
+    u = np.random.default_rng(5).standard_normal((N, 3))
+    X = op_s.plan.pack(jnp.asarray(u))
+    F_s = np.asarray(op_s(X))
+    F_f = np.asarray(op_f(X))
+    np.testing.assert_allclose(F_f, F_s, rtol=1e-6,
+                               atol=1e-9 * np.abs(F_s).max())
+    # diagonal paths transpose the cluster-major geometry back to planar
+    np.testing.assert_allclose(np.asarray(op_f.diagonal()),
+                               np.asarray(op_s.diagonal()), rtol=1e-6,
+                               atol=1e-9)

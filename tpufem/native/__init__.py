@@ -151,6 +151,10 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.block_windows_fill.restype = None
     lib.block_windows_fill.argtypes = [i32p, ctypes.c_int64, ctypes.c_int64,
                                        ctypes.c_int32, i32p, i32p, i32p]
+    lib.block_windows_fill_packed.restype = None
+    lib.block_windows_fill_packed.argtypes = [
+        i32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int32, i32p, i32p, i32p, i32p, i32p]
     lib.cinc_widths.restype = None
     lib.cinc_widths.argtypes = [i32p, u8p, ctypes.c_int64, ctypes.c_int32,
                                 ctypes.c_int32, ctypes.c_int32,
@@ -368,6 +372,41 @@ def cluster_windows(l2g: np.ndarray, nb: int, wcap: int = 128):
                         _p(wn_cnt, ctypes.c_int32),
                         _p(wslot, ctypes.c_int32), _p(jslot, ctypes.c_int32))
     return win_full, wn_cnt, wslot, jslot
+
+
+def block_windows_count(l2g: np.ndarray, nb: int) -> Optional[np.ndarray]:
+    """Per-block cluster-window counts [nb] int32, or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    l2g = np.ascontiguousarray(l2g, dtype=np.int32)
+    wc_cnt = np.empty(nb, np.int32)
+    lib.block_windows_count(_p(l2g, ctypes.c_int32), l2g.shape[0], nb,
+                            _p(wc_cnt, ctypes.c_int32))
+    return wc_cnt
+
+
+def block_windows_fill_packed(l2g: np.ndarray, nb: int, wc: int,
+                              bpos: np.ndarray, cpos: np.ndarray):
+    """(winc [nb, wc] in bucket order w/ mapped cluster ids, byte-packed
+    slotidx [nb, ceil(wc/4), 128] int32) or None.  One pass; entries per
+    block ascend in OLD cluster id (deterministic combine order)."""
+    lib = _load()
+    if lib is None:
+        return None
+    l2g = np.ascontiguousarray(l2g, dtype=np.int32)
+    bpos = np.ascontiguousarray(bpos, dtype=np.int32)
+    cpos = np.ascontiguousarray(cpos, dtype=np.int32)
+    wcp4 = max(-(-int(wc) // 4), 1)
+    cursor = np.zeros(nb, np.int32)
+    winc = np.empty((nb, wc), np.int32)
+    packed = np.zeros((nb, wcp4, 128), np.int32)
+    lib.block_windows_fill_packed(
+        _p(l2g, ctypes.c_int32), l2g.shape[0], nb, wc, wcp4,
+        _p(bpos, ctypes.c_int32), _p(cpos, ctypes.c_int32),
+        _p(cursor, ctypes.c_int32), _p(winc, ctypes.c_int32),
+        _p(packed, ctypes.c_int32))
+    return winc, packed
 
 
 def block_windows(l2g: np.ndarray, nb: int):

@@ -479,6 +479,43 @@ void block_windows_count(const int32_t* l2g, int64_t B, int64_t nb,
   }
 }
 
+// Bucketed + byte-packed block-window fill: one pass writing winc rows in
+// the bucket permutation (row = bpos[blk], values = cpos[cluster]) and the
+// byte-packed slotidx words directly (4 windows per int32, byte = slot+1,
+// 0 = absent) — the layout ops/packed.py previously produced by
+// materializing the unpacked [nb, wc, 128] table (1.3 GB at 5M elements)
+// and re-packing it through a chunked numpy loop (25 s of the 77 s plan
+// build).  Entry order per block stays ascending OLD cluster id — the
+// same deterministic combine pull order as block_windows_fill.
+void block_windows_fill_packed(const int32_t* l2g, int64_t B, int64_t nb,
+                               int32_t wc, int32_t wcp4,
+                               const int32_t* bpos, const int32_t* cpos,
+                               int32_t* cursor /* [nb] zeroed */,
+                               int32_t* winc_out /* [nb, wc] */,
+                               int32_t* packed_out /* [nb, wcp4, 128] 0 */) {
+  for (int64_t i = 0; i < nb * (int64_t)wc; ++i) winc_out[i] = (int32_t)B;
+  for (int64_t b = 0; b < B; ++b) {
+    const int32_t* g = l2g + b * 128;
+    int32_t cur = -1;
+    int64_t row = -1, pos = -1;
+    int32_t* pw = nullptr;
+    int shift = 0;
+    for (int s = 0; s < 128; ++s) {
+      if (g[s] < 0) continue;
+      int32_t blk = g[s] >> 7;
+      if (blk != cur) {
+        cur = blk;
+        row = bpos[blk];
+        pos = cursor[blk]++;
+        winc_out[row * (int64_t)wc + pos] = cpos[b];
+        pw = packed_out + (row * (int64_t)wcp4 + (pos >> 2)) * 128;
+        shift = 8 * (int)(pos & 3);
+      }
+      pw[g[s] & 127] |= (int32_t)(s + 1) << shift;
+    }
+  }
+}
+
 void block_windows_fill(const int32_t* l2g, int64_t B, int64_t nb,
                         int32_t wc, int32_t* cursor /* [nb] zeroed */,
                         int32_t* winc_out, int32_t* slotidx_out) {

@@ -110,20 +110,24 @@ def _fused_kernel(xw_ref, wslot_ref, jslot_ref, lconn_ref, cinc_ref,
     dense = mode == "dense"
 
     def densify_chunk(chunk):
-        """[TB, 128] -> list of `per` [TB//per, 128] planes (strided map)."""
+        """[TB, 128] -> list of `per` [TB//per, 128] planes (strided map).
+
+        Mosaic requires lane offsets of strided REF reads to be 0, so read
+        each sublane-strided row group at full lane width and slice the
+        lanes as values."""
         sA_ref[:] = chunk
+        rows = [sA_ref[j::per, :] for j in range(per)]     # [TB//per, 128]
         out = []
         for i in range(per):
             out.append(jnp.concatenate(
-                [sA_ref[j::per, i * E_c:(i + 1) * E_c] for j in range(per)],
-                axis=1))
+                [r[:, i * E_c:(i + 1) * E_c] for r in rows], axis=1))
         return out
 
     def densify_plane(p):
         """[TB, E_c] -> [TB//per, 128] via the same strided map."""
         sA_ref[:, :E_c] = p
         return jnp.concatenate(
-            [sA_ref[j::per, :E_c] for j in range(per)], axis=1)
+            [sA_ref[j::per, :][:, :E_c] for j in range(per)], axis=1)
 
     # hop 1: window rows -> cluster slots
     wslot = wslot_ref[:]
@@ -178,14 +182,20 @@ def _fused_kernel(xw_ref, wslot_ref, jslot_ref, lconn_ref, cinc_ref,
         src = []
         for c in range(3):
             if dense:
-                # inverse strided map: planes -> [TB, 128] chunk via sB
+                # inverse strided map: planes -> [TB, 128] chunk via sB.
+                # Strided ref WRITES must also start at lane 0: build each
+                # sublane row group at full lane width, one write per j.
+                planes = []
                 for i in range(per):
                     kk = g * per + i
-                    p = Fe[c][kk] if (kk < k and Fe[c][kk] is not None) \
-                        else zero_d
-                    for j in range(per):
-                        sB_ref[j::per, i * E_c:(i + 1) * E_c] = \
-                            p[:, j * E_c:(j + 1) * E_c]
+                    planes.append(Fe[c][kk] if (kk < k and
+                                                Fe[c][kk] is not None)
+                                  else zero_d)
+                for j in range(per):
+                    row = jnp.concatenate(
+                        [p[:, j * E_c:(j + 1) * E_c] for p in planes],
+                        axis=1)
+                    sB_ref[j::per, :] = row
                 src.append(sB_ref[:])
             else:
                 parts = []
@@ -229,10 +239,16 @@ def fused_yc(xw, wslot, jslot, lconn, cinc, jinv, w, dN, lam, mu, v_widths,
     Wp = cinc.shape[1]
     assert 128 % E_c == 0, "element lanes must not straddle 128-lane chunks"
     itemsize = jnp.dtype(xw.dtype).itemsize
+    # working planes: Mosaic pads [TB, E_c] vregs to full 128-lane width in
+    # narrow mode (measured: scoped-vmem OOM at TB=64, ~134 KB/row actual),
+    # and the unrolled pa chain keeps ~2x the nominal plane count live —
+    # count planes at 128 lanes with a 2x liveness factor; dense mode packs
+    # planes at TB*E_c/128 sublanes so its footprint is the nominal bytes.
+    plane_w = E_c if mode == "dense" else 128
     row_bytes = ((Wn * 384 + 384) * itemsize            # xw + out
                  + (qJ * 9 + q) * E_c * itemsize        # geometry
                  + (256 + Rp + Wp * 128) * 4            # int tables
-                 + (6 * k + 30) * E_c * itemsize)       # working planes
+                 + 2 * (6 * k + 30) * plane_w * itemsize)
     TB = _fit_tile(tile, B, row_bytes)
     while TB > 8 and TB * E_c % 128:
         TB //= 2

@@ -67,8 +67,14 @@ def _spread_bits(x: np.ndarray) -> np.ndarray:
 
 
 def morton_order(coords: np.ndarray, conn: np.ndarray) -> np.ndarray:
-    """Element permutation by 30-bit Morton code of the centroid."""
-    cent = coords[conn].mean(axis=1)
+    """Element permutation by 30-bit Morton code of the centroid.
+
+    The centroid only seeds a 10-bit-per-axis spatial sort, so f32 corner
+    nodes suffice (the mean of the first 4 nodes of any solid type is a
+    point inside the element) — 6x less gather traffic than all-node f64
+    at 2nd order (measured 13.9 s -> ~3 s at 5.14M elements)."""
+    kc = min(conn.shape[1], 4)
+    cent = coords[conn[:, :kc]].astype(np.float32, copy=False).mean(axis=1)
     mn, mx = cent.min(0), cent.max(0)
     q = ((cent - mn) / np.maximum(mx - mn, 1e-30) * 1023.0).astype(np.uint64)
     key = (_spread_bits(q[:, 0]) | (_spread_bits(q[:, 1]) << 1)
@@ -374,11 +380,11 @@ class PackedPlan:
             Wn = max(int(wn_cnt.max()) if B else 1, 1)
             win_nodes = np.ascontiguousarray(win_full[:, :Wn])
             wslot = np.where(wslot == 128, Wn, wslot).astype(np.int32)
-            _bw = native.block_windows(l2g, Nb)
-            assert _bw is not None
-            winc, slotidx, wc_cnt32 = _bw
+            wc_cnt32 = native.block_windows_count(l2g, Nb)
+            assert wc_cnt32 is not None
             wc_cnt = wc_cnt32.astype(np.int64)
-            Wc = winc.shape[1]
+            Wc = max(int(wc_cnt.max()) if Nb else 1, 1)
+            winc = slotidx = None   # deferred: packed fill after bucketing
         else:
             blk = np.where(l2g >= 0, l2g // BLK, -1)
             bsort = np.sort(blk, axis=1)
@@ -464,32 +470,39 @@ class PackedPlan:
         old_from_new = old_from_new.reshape(Nb, BLK)[bperm].reshape(-1)
         win_nodes = np.where(win_nodes < Nb,
                              bpos[np.minimum(win_nodes, Nb - 1)], Nb)
-        winc = winc[bperm]
-        # byte-pack slotidx 4 windows per int32 word (value = slot + 1),
-        # in row chunks: a full-size uint32 temp plus the permuted copy
-        # peaked at ~3x the packed table (~5 GB transient at 5M elements,
-        # ADVICE r3) — chunking bounds the transient to ~250 MB
-        Wcp4 = max(-(-Wc // 4), 1)
-        packed_si = np.empty((Nb, Wcp4, BLK), np.int32)
-        CH = 1 << 13
-        sv = np.zeros((min(CH, Nb), Wcp4 * 4, BLK), np.uint32)
-        for r0 in range(0, Nb, CH):
-            r1 = min(r0 + CH, Nb)
-            svc = sv[:r1 - r0]
-            svc[:, Wc:] = 0
-            svc[:, :Wc] = (slotidx[bperm[r0:r1]].astype(np.int64) + 1
-                           ).astype(np.uint32)
-            packed_si[r0:r1] = (svc[:, 0::4] | (svc[:, 1::4] << 8)
-                                | (svc[:, 2::4] << 16)
-                                | (svc[:, 3::4] << 24)).view(np.int32)
-        slotidx = packed_si
-        # cluster permutation: rows of cluster tables; values of winc
+        if winc is None:
+            # native one-pass fill: winc rows already in bucket order with
+            # mapped cluster ids, slotidx byte-packed directly (skips the
+            # 1.3 GB unpacked table + chunked numpy re-pack)
+            winc, slotidx = native.block_windows_fill_packed(
+                l2g, Nb, Wc, bpos, cpos)
+        else:
+            winc = winc[bperm]
+            # byte-pack slotidx 4 windows per int32 word (value = slot + 1)
+            # in row chunks: a full-size uint32 temp plus the permuted copy
+            # peaked at ~3x the packed table (~5 GB transient at 5M
+            # elements, ADVICE r3) — chunking bounds the transient
+            Wcp4 = max(-(-Wc // 4), 1)
+            packed_si = np.empty((Nb, Wcp4, BLK), np.int32)
+            CH = 1 << 13
+            sv = np.zeros((min(CH, Nb), Wcp4 * 4, BLK), np.uint32)
+            for r0 in range(0, Nb, CH):
+                r1 = min(r0 + CH, Nb)
+                svc = sv[:r1 - r0]
+                svc[:, Wc:] = 0
+                svc[:, :Wc] = (slotidx[bperm[r0:r1]].astype(np.int64) + 1
+                               ).astype(np.uint32)
+                packed_si[r0:r1] = (svc[:, 0::4] | (svc[:, 1::4] << 8)
+                                    | (svc[:, 2::4] << 16)
+                                    | (svc[:, 3::4] << 24)).view(np.int32)
+            slotidx = packed_si
+            winc = np.where(winc < B, cpos[np.minimum(winc, B - 1)], B)
+        # cluster permutation: rows of cluster tables
         win_nodes = win_nodes[cperm]
         wslot = wslot[cperm]
         jslot = jslot[cperm]
         lconn = lconn[cperm]
         esrc = esrc[cperm]
-        winc = np.where(winc < B, cpos[np.minimum(winc, B - 1)], B)
 
         _tick("bucketing")
         # per-bucket compress incidence tables, byte-packed 4 per int32
@@ -538,6 +551,67 @@ class PackedPlan:
             slotidx=i32(slotidx),
             new_from_old=i32(new_from_old), old_from_new=i32(old_from_new),
             esrc=i32(esrc.reshape(-1)), meta=meta)
+
+    # -- disk cache ----------------------------------------------------------
+    _SAVE_VERSION = 1
+
+    def save(self, path: str) -> None:
+        """Persist the plan as a directory of .npy files + meta.json.
+
+        Plan construction is the host-side cost of the packed operator
+        (minutes at 5M+ elements — PERFORMANCE.md "plan build" rows); the
+        cache loads in seconds and the geometry (Jinv/W) is recomputed on
+        device from coords/conn, so a cached plan fully amortizes the
+        setup for repeat runs (bench.py scale block, examples)."""
+        import json
+        import os
+        os.makedirs(path, exist_ok=True)
+        arrays = dict(
+            win_nodes=self.win_nodes, wslot=self.wslot, jslot=self.jslot,
+            lconn=self.lconn, winc=self.winc, slotidx=self.slotidx,
+            new_from_old=self.new_from_old, old_from_new=self.old_from_new,
+            esrc=self.esrc)
+        for i, c in enumerate(self.cinc):
+            arrays[f"cinc_{i}"] = c
+        for name, a in arrays.items():
+            np.save(os.path.join(path, name + ".npy"), np.asarray(a))
+        m = self.meta
+        meta = dict(version=self._SAVE_VERSION, n_cinc=len(self.cinc),
+                    n_nodes=m.n_nodes, n_blocks=m.n_blocks,
+                    n_clusters=m.n_clusters,
+                    elems_per_cluster=m.elems_per_cluster,
+                    nodes_per_elem=m.nodes_per_elem, lanes=m.lanes,
+                    win_n=m.win_n, win_c=m.win_c,
+                    c_groups=[list(g) for g in m.c_groups],
+                    b_groups=[list(g) for g in m.b_groups],
+                    cv_widths=[list(w) for w in m.cv_widths])
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f)
+
+    @staticmethod
+    def load(path: str) -> "PackedPlan":
+        import json
+        import os
+        with open(os.path.join(path, "meta.json")) as f:
+            md = json.load(f)
+        if md.get("version") != PackedPlan._SAVE_VERSION:
+            raise ValueError(f"unsupported plan cache version: {md}")
+        ld = lambda n: jnp.asarray(  # noqa: E731
+            np.load(os.path.join(path, n + ".npy")))
+        meta = _PackedMeta(
+            md["n_nodes"], md["n_blocks"], md["n_clusters"],
+            md["elems_per_cluster"], md["nodes_per_elem"], md["lanes"],
+            md["win_n"], md["win_c"],
+            tuple(tuple(g) for g in md["c_groups"]),
+            tuple(tuple(g) for g in md["b_groups"]),
+            tuple(tuple(w) for w in md["cv_widths"]))
+        return PackedPlan(
+            win_nodes=ld("win_nodes"), wslot=ld("wslot"), jslot=ld("jslot"),
+            lconn=ld("lconn"),
+            cinc=tuple(ld(f"cinc_{i}") for i in range(md["n_cinc"])),
+            winc=ld("winc"), slotidx=ld("slotidx"),
+            new_from_old=ld("new_from_old"),
+            old_from_new=ld("old_from_new"), esrc=ld("esrc"), meta=meta)
 
     # -- packing helpers (device) -------------------------------------------
     def pack(self, u):
@@ -703,6 +777,11 @@ class _PackedFlags:
     # elements that degenerated to 7253 eight-row chunks in one bucket.
     cluster_rows: Tuple[int, ...] = ()
     block_rows: Tuple[int, ...] = ()
+    # fused cluster stage (ops.fused_kernels): "" = staged expand/pa/
+    # compress pipeline, "narrow"/"dense" = one-pass Pallas kernel (kills
+    # the ue/Fe HBM round trips and both planar transposes).  When set,
+    # Jinv/W are stored CLUSTER-major ([B, qJ*9, E_c] / [B, q, E_c]).
+    fuse: str = ""
 
 
 def _chunk_rows(total: int, target_bytes: int, bytes_per: int) -> int:
@@ -723,13 +802,22 @@ def _chunk_offsets(total: int, cc: int):
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class PackedPartialOperator:
-    """X [Nb, 384] -> F [Nb, 384]; geometry-factor element compute."""
+    """X [Nb, 384] -> F [Nb, 384]; geometry-factor element compute.
 
-    Jinv: jnp.ndarray         # [qJ, 9, B, E_c]
-    W: jnp.ndarray            # [q, B, E_c]
+    Geometry layout depends on flags.fuse: planar [qJ, 9, B, E_c] /
+    [q, B, E_c] for the staged pipeline, cluster-major [B, qJ*9, E_c] /
+    [B, q, E_c] for the fused kernel (its per-chunk row slices).
+    """
+
+    Jinv: jnp.ndarray
+    W: jnp.ndarray
     dN: _StaticTable          # [q, k, 3]
     plan: PackedPlan
-    lam_mu: Tuple[float, float]
+    # static: the fused kernel bakes lam/mu into the Pallas program as
+    # Python floats (a traced leaf here would fail inside pallas_call
+    # when the operator is passed as a jit ARGUMENT, the required style)
+    lam_mu: Tuple[float, float] = dataclasses.field(
+        metadata=dict(static=True))
     flags: _PackedFlags = _PackedFlags()
 
     @staticmethod
@@ -739,7 +827,13 @@ class PackedPartialOperator:
               dtype=None, elems_per_cluster: int = 32,
               interpret: bool = False,
               chunk_budget_bytes: int = 1 << 30,
-              window_buckets: int = 4) -> "PackedPartialOperator":
+              window_buckets: int = 4,
+              fuse: Optional[str] = None,
+              geometry: Optional[Tuple] = None) -> "PackedPartialOperator":
+        """geometry: optional precomputed (Jinv, W) in the STORAGE layout
+        of the requested fuse mode (as taken from a previously built
+        operator's fields) — skips the chunked_geometry device pass, the
+        second-largest setup cost after the plan itself."""
         from ..core.materials import lame_parameters
         from ..elements.tables import element_table
 
@@ -754,24 +848,36 @@ class PackedPartialOperator:
         m = plan.meta
         table = element_table(etype, rule)
         dtype = dtype or jnp.asarray(coords).dtype
-
-        esrc = np.asarray(plan.esrc)
-        valid = esrc >= 0
-        conn_sel = conn[np.maximum(esrc, 0)]
-        from .partial import chunked_geometry
-        Jinv, W, affine_meas = chunked_geometry(
-            jnp.asarray(coords_np, dtype), conn_sel, table, dtype)
-        W = W * jnp.asarray(valid, dtype)[:, None]   # zero pad elements
-        if affine is None:
-            affine = affine_meas
-        if affine:
-            Jinv = Jinv[:, :1]
-        qJ = Jinv.shape[1]
-        q = W.shape[1]
         B, E_c = m.n_clusters, m.elems_per_cluster
-        # [B*E_c, q, 3, 3] -> [qJ, 9, B, E_c]
-        Jp = jnp.transpose(Jinv.reshape(B, E_c, qJ, 9), (2, 3, 0, 1))
-        Wp = jnp.transpose(W.reshape(B, E_c, q), (2, 0, 1))
+        if fuse is None:
+            fuse = ""      # default pending on-chip measurement (probe_fused)
+
+        if geometry is not None:
+            Jp = jnp.asarray(geometry[0], dtype)
+            Wp = jnp.asarray(geometry[1], dtype)
+        else:
+            esrc = np.asarray(plan.esrc)
+            valid = esrc >= 0
+            conn_sel = conn[np.maximum(esrc, 0)]
+            from .partial import chunked_geometry
+            Jinv, W, affine_meas = chunked_geometry(
+                jnp.asarray(coords_np, dtype), conn_sel, table, dtype)
+            W = W * jnp.asarray(valid, dtype)[:, None]   # zero pad elements
+            if affine is None:
+                affine = affine_meas
+            if affine:
+                Jinv = Jinv[:, :1]
+            qJ = Jinv.shape[1]
+            q = W.shape[1]
+            if fuse:
+                # cluster-major geometry for the fused kernel's row slices
+                Jp = jnp.transpose(Jinv.reshape(B, E_c, qJ, 9), (0, 2, 3, 1)
+                                   ).reshape(B, qJ * 9, E_c)
+                Wp = jnp.transpose(W.reshape(B, E_c, q), (0, 2, 1))
+            else:
+                # [B*E_c, q, 3, 3] -> [qJ, 9, B, E_c]
+                Jp = jnp.transpose(Jinv.reshape(B, E_c, qJ, 9), (2, 3, 0, 1))
+                Wp = jnp.transpose(W.reshape(B, E_c, q), (2, 0, 1))
         lam, mu = lame_parameters(E, nu)
         # bound the materialized window gathers (Xw / Ycw) at large scale:
         # process each bucket's clusters / node blocks in chunks that fit
@@ -790,7 +896,7 @@ class PackedPartialOperator:
         return PackedPartialOperator(
             Jinv=Jp, W=Wp, dN=_StaticTable.of(table.dN), plan=plan,
             lam_mu=(float(lam), float(mu)),
-            flags=_PackedFlags(interpret, crows, brows))
+            flags=_PackedFlags(interpret, crows, brows, fuse))
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -808,6 +914,18 @@ class PackedPartialOperator:
             f = jnp.pad(f, ((0, 0), (0, 0), (0, Rp - k * E_c)))
         return f
 
+    def _planar_geom(self):
+        """(Jinv [qJ, 9, B, E_c], W [q, B, E_c]) views regardless of the
+        storage layout (the diagonal paths consume the planar layout)."""
+        m = self.plan.meta
+        if not self.flags.fuse:
+            return self.Jinv, self.W
+        B, E_c = m.n_clusters, m.elems_per_cluster
+        qJ = self.Jinv.shape[1] // 9
+        Jp = jnp.transpose(self.Jinv.reshape(B, qJ, 9, E_c), (1, 2, 0, 3))
+        Wp = jnp.transpose(self.W, (1, 0, 2))
+        return Jp, Wp
+
     def _yc_chunk(self, Xp, gi, s, loc, n, wk):
         """Slot sums for clusters [s+loc, s+loc+n) of bucket gi (window
         width wk); `loc` is the chunk offset within the bucket."""
@@ -819,6 +937,15 @@ class PackedPartialOperator:
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, bs, n, 0)  # noqa: E731
         lconn = sl(self.plan.lconn)
         Xw = Xp[sl(self.plan.win_nodes)[:, :wk]]           # [n, wk, 384]
+        ci = jax.lax.dynamic_slice_in_dim(self.plan.cinc[gi], loc, n, 0)
+        if fl.fuse:
+            from . import fused_kernels as fk
+            return fk.fused_yc(
+                Xw, sl(self.plan.wslot), sl(self.plan.jslot), lconn, ci,
+                sl(self.Jinv), sl(self.W), self.dN.array, lam, mu,
+                m.cv_widths[gi], k=m.nodes_per_elem,
+                E_c=m.elems_per_cluster, mode=fl.fuse,
+                interpret=fl.interpret)
         ue = pk.expand(Xw, sl(self.plan.wslot), sl(self.plan.jslot), lconn,
                        interpret=fl.interpret)             # [n, 3, Rp]
         ue3 = self._lanes_to_planar(ue, m.nodes_per_elem, m.elems_per_cluster)
@@ -826,7 +953,6 @@ class PackedPartialOperator:
         Wc = jax.lax.dynamic_slice_in_dim(self.W, bs, n, 1)
         fe3 = pa_apply_planar(ue3, Jc, Wc, self.dN.array, lam, mu)
         Fe = self._planar_to_lanes(fe3, m.lanes)
-        ci = jax.lax.dynamic_slice_in_dim(self.plan.cinc[gi], loc, n, 0)
         return pk.compress_gather(Fe, ci, m.cv_widths[gi],
                                   interpret=fl.interpret)
 
@@ -897,11 +1023,12 @@ class PackedPartialOperator:
         fl = self.flags
         m = self.plan.meta
         lam, mu = self.lam_mu
+        Jp, Wp = self._planar_geom()
 
         def chunk(gi, s, loc, n):
             bs = s + loc
-            Jc = jax.lax.dynamic_slice_in_dim(self.Jinv, bs, n, 2)
-            Wc = jax.lax.dynamic_slice_in_dim(self.W, bs, n, 1)
+            Jc = jax.lax.dynamic_slice_in_dim(Jp, bs, n, 2)
+            Wc = jax.lax.dynamic_slice_in_dim(Wp, bs, n, 1)
             d3 = pa_diag_planar(Jc, Wc, self.dN.array, lam, mu)
             Fe = self._planar_to_lanes(d3, m.lanes)
             ci = jax.lax.dynamic_slice_in_dim(self.plan.cinc[gi], loc, n, 0)
@@ -937,11 +1064,12 @@ class PackedPartialOperator:
         fl = self.flags
         m = self.plan.meta
         lam, mu = self.lam_mu
+        Jp, Wp = self._planar_geom()
 
         def chunk(gi, s, loc, n):
             bs = s + loc
-            Jc = jax.lax.dynamic_slice_in_dim(self.Jinv, bs, n, 2)
-            Wc = jax.lax.dynamic_slice_in_dim(self.W, bs, n, 1)
+            Jc = jax.lax.dynamic_slice_in_dim(Jp, bs, n, 2)
+            Wc = jax.lax.dynamic_slice_in_dim(Wp, bs, n, 1)
             d3, o3 = pa_blockdiag_planar(Jc, Wc, self.dN.array, lam, mu)
             ci = jax.lax.dynamic_slice_in_dim(self.plan.cinc[gi], loc, n, 0)
             out = []
