@@ -139,7 +139,10 @@ def main():
     # roofline honesty: minimal HBM bytes the operator must move per apply
     # (geometry stream + window-gathered X rows + Yc twice + F out)
     m = op.plan.meta
-    qJ, q = op.Jinv.shape[0], op.W.shape[0]
+    if op.flags.fuse:      # cluster-major geometry [B, qJ*9, E_c]/[B, q, E_c]
+        qJ, q = op.Jinv.shape[1] // 9, op.W.shape[1]
+    else:
+        qJ, q = op.Jinv.shape[0], op.W.shape[0]
     cw = sum(nn * wk for (_, nn, wk) in m.c_groups)  # bucketed window rows
     bw = sum(nn * wk for (_, nn, wk) in m.b_groups)
     bytes_min = (m.n_clusters * m.elems_per_cluster * (qJ * 9 + q) * 4
@@ -265,9 +268,21 @@ def main():
                       file=sys.stderr)
         sN = sc.shape[0]
         sM, sk = scn.shape
+        gJ = os.path.join(cdir, "geomJ.npy")
+        gW = os.path.join(cdir, "geomW.npy")
+        geom = ((np.load(gJ), np.load(gW))
+                if plan_cached and os.path.exists(gJ) and os.path.exists(gW)
+                else None)
         sop = PackedPartialOperator.build(jnp.asarray(sc, jnp.float32), scn,
                                           "c3d10", 200e9, 0.3, n_nodes=sN,
-                                          plan=plan)
+                                          plan=plan, geometry=geom)
+        if geom is None:
+            try:
+                np.save(gJ, np.asarray(sop.Jinv))
+                np.save(gW, np.asarray(sop.W))
+            except Exception as e:
+                print(f"bench: geometry cache save failed ({e})",
+                      file=sys.stderr)
         t_build = time.time() - t0
         sX = jnp.asarray(sop.plan.pack_np(
             np.random.default_rng(0).standard_normal((sN, 3)

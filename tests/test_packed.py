@@ -419,7 +419,7 @@ def test_planar_kernels_match_staged():
     N = coords.shape[0]
     op = PackedPartialOperator.build(jnp.asarray(coords, jnp.float64), conn,
                                      "c3d10", E, NU, n_nodes=N,
-                                     interpret=True)
+                                     interpret=True, fuse="")
     m = op.plan.meta
     lam, mu = op.lam_mu
     X = jnp.asarray(op.plan.pack_np(np.random.default_rng(3)
@@ -457,7 +457,7 @@ def test_fused_kernel_matches_staged(mode):
     N = coords.shape[0]
     op = PackedPartialOperator.build(jnp.asarray(coords, jnp.float64), conn,
                                      "c3d10", E, NU, n_nodes=N,
-                                     interpret=True)
+                                     interpret=True, fuse="")
     m = op.plan.meta
     lam, mu = op.lam_mu
     qJ = op.Jinv.shape[0]

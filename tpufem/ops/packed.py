@@ -203,7 +203,7 @@ class PackedPlan:
     @staticmethod
     def build(coords, conn, n_nodes: int, elems_per_cluster: int = 32,
               order: Optional[np.ndarray] = None,
-              window_buckets: int = 4) -> "PackedPlan":
+              window_buckets: int = 8) -> "PackedPlan":
         import os
         import time
         prof = os.environ.get("TPUFEM_BUILD_PROFILE")
@@ -827,7 +827,7 @@ class PackedPartialOperator:
               dtype=None, elems_per_cluster: int = 32,
               interpret: bool = False,
               chunk_budget_bytes: int = 1 << 30,
-              window_buckets: int = 4,
+              window_buckets: int = 8,
               fuse: Optional[str] = None,
               geometry: Optional[Tuple] = None) -> "PackedPartialOperator":
         """geometry: optional precomputed (Jinv, W) in the STORAGE layout
@@ -850,11 +850,22 @@ class PackedPartialOperator:
         dtype = dtype or jnp.asarray(coords).dtype
         B, E_c = m.n_clusters, m.elems_per_cluster
         if fuse is None:
-            fuse = ""      # default pending on-chip measurement (probe_fused)
+            # measured on v5e (scripts/probe_fused.py / probe_scale_fused):
+            # dense 118 vs staged 113 Gnnz/s at 83k elements, 59.9 vs 48.6
+            # at 5.14M (the ue/Fe round trips + transposes it removes grow
+            # with the gather-heavy share); narrow loses 2x to lane pad
+            fuse = "dense" if 128 % E_c == 0 else ""
 
         if geometry is not None:
             Jp = jnp.asarray(geometry[0], dtype)
             Wp = jnp.asarray(geometry[1], dtype)
+            ok = ((Jp.shape[0] == B and Wp.shape[0] == B) if fuse
+                  else (Jp.ndim == 4 and Jp.shape[2] == B
+                        and Wp.shape[1] == B))
+            if not ok:      # e.g. a cache written under another fuse mode
+                raise ValueError(
+                    f"geometry layout mismatch for fuse={fuse!r}: "
+                    f"Jinv {Jp.shape}, W {Wp.shape}, B={B}")
         else:
             esrc = np.asarray(plan.esrc)
             valid = esrc >= 0

@@ -245,7 +245,12 @@ class HaloPartialFEM:
     exchange with interior/boundary overlap split."""
 
     def __init__(self, mesh: Mesh, axis: str, part: HaloPartialPartition,
-                 free_mask=None, M_inv=None):
+                 free_mask=None, M_inv=None, serialize_exchange: bool = False):
+        """serialize_exchange: measurement knob (scripts/probe_overlap.py)
+        — gathers the INTERIOR batch from the post-exchange array too,
+        forcing the element compute to wait on every ppermute round.
+        Results are identical (interior rows are owned rows either way);
+        only the scheduler's freedom to overlap is removed."""
         self.mesh = mesh
         self.axis = axis
         self.part = part
@@ -256,6 +261,7 @@ class HaloPartialFEM:
         self.row_sharding = sh
         self.free_mask = free_mask
         self.M_inv = M_inv
+        self.serialize_exchange = serialize_exchange
         self._spmv = None
         self._pcg = {}
 
@@ -282,8 +288,9 @@ class HaloPartialFEM:
         # schedulable concurrently with) the ghost ppermute rounds
         u_own_pad = jnp.concatenate(
             [u_own, jnp.zeros((m.ghost_rows + 1, nd), u_own.dtype)], axis=0)
-        ue_int = u_own_pad[conn_local[:Mi]]
-        Fe_int = self._pa(ue_int, Jinv[:Mi], W[:Mi])
+        if not self.serialize_exchange:
+            ue_int = u_own_pad[conn_local[:Mi]]
+            Fe_int = self._pa(ue_int, Jinv[:Mi], W[:Mi])
 
         # ghost exchange (each round = one partial-permutation collective;
         # parts outside the round's pairs receive zeros into the pad slot)
@@ -292,6 +299,12 @@ class HaloPartialFEM:
             buf = u_own[send_idx[ri]]
             recv = jax.lax.ppermute(buf, self.axis, list(prs))
             u_loc = u_loc.at[recv_slot[ri]].add(recv * recv_mask[ri][:, None])
+
+        if self.serialize_exchange:
+            # measurement mode: same values (interior rows are owned rows)
+            # but gathered from the post-exchange array — no overlap
+            ue_int = u_loc[conn_local[:Mi]]
+            Fe_int = self._pa(ue_int, Jinv[:Mi], W[:Mi])
 
         # boundary batch: needs the ghosts
         ue_bnd = u_loc[conn_local[Mi:]]
