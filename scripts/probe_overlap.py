@@ -15,10 +15,18 @@ mesh the same command produces the evidence.
 Usage:
   python scripts/probe_overlap.py [n_devices] [n]   # box_tet10(n, n, n)
 
-Single-chip dry-run output (8-device virtual CPU mesh, n=12, 2026-08-20):
-  overlapped   per-SpMV ~1.9 ms / serialized ~1.9 ms — gap within jitter,
-  as expected where ppermute is a host memcpy; the harness compiles both
-  schedules and verifies bitwise-equal results.
+Single-chip dry-run output (8-device virtual CPU mesh, n=8, 2026-08-20):
+  mesh: 3072 c3d10 elements, 4913 nodes, 8 parts, 6 exchange rounds,
+        interior cut 69/861
+  overlapped == serialized (bitwise) OK
+  overlapped    742.393 ms / SpMV
+  serialized    695.735 ms / SpMV
+  overlap win   -46.658 ms (-6.3%)
+The -6% "win" is CPU-emulation noise (ppermute is a host memcpy; there
+is nothing to overlap), i.e. the expected null result on this backend —
+the harness's value here is that both schedules compile, run, and agree
+bitwise.  On a real multi-chip mesh the same command measures the true
+overlap gap.
 """
 from __future__ import annotations
 
