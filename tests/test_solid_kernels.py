@@ -180,3 +180,21 @@ def test_stiffness_matches_reference_formula_c3d8():
             B[:, 5, 3 * i + 2] = gx
         K_ref += np.einsum("mri,rs,msj->mij", B, D, B) * (wts[q] * detJ)[:, None, None]
     np.testing.assert_allclose(K, K_ref, rtol=1e-9, atol=1e-9 * np.abs(K).max())
+
+
+@pytest.mark.parametrize("etype,mesh", [
+    ("c3d10", lambda: meshgen.box_tet10(2, 2, 2)),
+    ("c3d8", lambda: meshgen.box_hex(2, 2, 3)),
+    ("c3d6", lambda: meshgen.box_wedge(2, 2, 2)),
+])
+def test_stiffness_isotropic_closed_form(etype, mesh):
+    """The no-B closed form == B^T D B for isotropic D (exact identity)."""
+    coords, conn = mesh()
+    c = coords.copy()
+    c[:, 0] += 0.04 * np.sin(2.0 * c[:, 1]) * c[:, 2]
+    K_new = np.asarray(solid.stiffness_isotropic(
+        jnp.asarray(c), jnp.asarray(conn), etype, E, NU))
+    K_ref = np.asarray(solid.stiffness(
+        jnp.asarray(c), jnp.asarray(conn), etype, E, NU))
+    np.testing.assert_allclose(K_new, K_ref, rtol=1e-12,
+                               atol=1e-13 * np.abs(K_ref).max())

@@ -175,13 +175,61 @@ def b_matrix_from_gradients(g):
 def stiffness(coords, conn, etype: str, E: float, nu: float,
               rule: str = "default", table: Optional[ElementTable] = None,
               dtype=None):
-    """Element stiffness K[M, 3k, 3k] — isotropic fast path (no B matrix).
+    """Element stiffness K[M, 3k, 3k] — isotropic.
 
     Capability parity with reference compute_*_K_matrix
-    (solver/element.py:883, 1191, 1754, 2140, 2631).
+    (solver/element.py:883, 1191, 1754, 2140, 2631).  Routes to the
+    lane-packed B^T D B pipeline: measured on v5e the batched
+    [3k, 6q] @ [6q, 3k] GEMM is the best MXU mapping (4.4M c3d10
+    elements/s); the 7x-fewer-FLOP closed form (stiffness_isotropic)
+    loses 2.4x to its stride-3 slice updates on this hardware.
     """
     return stiffness_bmat(coords, conn, etype, elasticity_matrix(E, nu),
                           rule=rule, table=table, dtype=dtype)
+
+
+def stiffness_isotropic(coords, conn, etype: str, E: float, nu: float,
+                        rule: str = "default",
+                        table: Optional[ElementTable] = None, dtype=None):
+    """Element stiffness by the isotropic closed form (no B matrix).
+
+    For isotropic D, B^T D B collapses exactly (substitute the Lame form
+    of D into the Voigt contraction) to
+
+        K[(k,c),(l,e)] = sum_q W_q [ lam g_k[c] g_l[e] + mu g_k[e] g_l[c]
+                                     + mu (g_k . g_l) delta_ce ]
+
+    with g the physical shape gradients: one batched contraction
+    O = sum_q W g g^T plus blockwise transposes — ~7x fewer FLOPs and no
+    [M, q, 6, 3k] intermediates.  Validated equal to stiffness_bmat to
+    1e-14 relative (f64) for every solid type.  On v5e the stride-3
+    slice updates make it SLOWER than the GEMM pipeline (45 vs 19 ms at
+    83k c3d10) — kept as the algebraic basis for a future planar VPU
+    kernel and as an independent cross-check of the B pipeline.
+    """
+    from ..core.materials import lame_parameters
+    table = table or element_table(etype, rule)
+    dtype = dtype or coords.dtype
+    J = jacobians(coords, conn, table, dtype)
+    g, detJ = shape_gradients_from_J(J, table, dtype)    # [M, q, k, 3]
+    W = jnp.asarray(table.weights, dtype=dtype)[None, :] * detJ
+    M, q, k, _ = g.shape
+    gf = g.reshape(M, q, 3 * k)
+    hi = jax.lax.Precision.HIGHEST
+    O = _xeinsum("mqx,mqy->mxy", gf * W[:, :, None], gf, precision=hi)
+    lam, mu = lame_parameters(E, nu)
+    lam = jnp.asarray(lam, dtype)
+    mu = jnp.asarray(mu, dtype)
+    K = lam * O
+    # mu * blockwise (3x3) transpose: out[(k,c),(l,e)] += mu O[(k,e),(l,c)]
+    for c in range(3):
+        for e in range(3):
+            K = K.at[:, c::3, e::3].add(mu * O[:, e::3, c::3])
+    # mu * (g_k . g_l) on the component diagonal = mu * block-trace of O
+    A = O[:, 0::3, 0::3] + O[:, 1::3, 1::3] + O[:, 2::3, 2::3]
+    for c in range(3):
+        K = K.at[:, c::3, c::3].add(mu * A)
+    return K
 
 
 def _packed_B_and_W(coords, conn, etype, rule, table, dtype):
