@@ -39,15 +39,27 @@ def main():
     print(f"mesh: M={M} c3d4, N={N}, parts={n_parts}", flush=True)
 
     t0 = time.time()
-    labels, _ = partition_elements(conn, "c3d4", n_parts, 0, balanced=True)
+    how = os.environ.get("HYBRID_PART", "rcb")
+    if how == "rcb":
+        from tpufem.parallel.partition import rcb_partition
+        labels = rcb_partition(coords, conn, n_parts)
+    elif how == "morton":
+        from tpufem.parallel.partition import morton_partition
+        labels = morton_partition(coords, conn, n_parts)
+    else:
+        labels, _ = partition_elements(conn, "c3d4", n_parts, 0,
+                                       balanced=True)
     t_part = time.time() - t0
     sizes = np.bincount(labels, minlength=n_parts)
     print(f"partition: {t_part:.1f}s  part sizes min/max={sizes.min()}/"
           f"{sizes.max()}", flush=True)
 
     t0 = time.time()
+    precond = os.environ.get("HYBRID_PRECOND", "bdd")
     sys_ = build_hybrid(coords, conn, "c3d4", 200e9, 0.3, n_parts,
-                        fixed_nodes=fixed, labels=labels, dtype=jnp.float32)
+                        fixed_nodes=fixed, labels=labels, dtype=jnp.float32,
+                        precondition=precond,
+                        slim=bool(int(os.environ.get("HYBRID_SLIM", "1"))))
     t_build = time.time() - t0
     m = sys_.meta
     print(f"build (assembly+cholesky): {t_build:.1f}s  interface nodes="

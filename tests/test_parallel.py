@@ -147,3 +147,14 @@ def test_distributed_different_part_counts_agree():
         assert int(info.status) == cgmod.CONVERGED
         sols.append(np.asarray(part.to_old(u_new)))
     np.testing.assert_allclose(sols[0], sols[1], rtol=1e-8, atol=1e-12)
+
+
+def test_morton_partition_balance():
+    from tpufem.parallel.partition import morton_partition
+    from tpufem.utils import meshgen
+    coords, conn = meshgen.box_tet(6, 6, 6)
+    labels = morton_partition(coords, conn, 7)
+    sizes = np.bincount(labels, minlength=7)
+    assert labels.shape[0] == conn.shape[0]
+    assert sizes.max() - sizes.min() <= 1          # exact balance
+    assert sizes.sum() == conn.shape[0]

@@ -142,6 +142,62 @@ def partition_elements(conn, etype: str, n_parts: int, seed: int = 0,
                                     seed, balanced=balanced)
 
 
+def rcb_partition(coords, conn, n_parts: int) -> np.ndarray:
+    """Labels [M]: recursive coordinate bisection of element centroids.
+
+    Splits the element set at the size-proportional quantile along the
+    widest axis, recursively — exact (+-1) balance like the Morton curve
+    but with COMPACT box-shaped parts, so per-part surfaces (the hybrid
+    solver's dense interface blocks scale with their square) are smaller
+    and more uniform than Morton chunks.  Handles any n_parts (not just
+    powers of two).  O(M log M log P) host time.
+    """
+    conn = np.asarray(conn)
+    coords = np.asarray(coords)
+    kc = min(conn.shape[1], 4)
+    cent = coords[conn[:, :kc]].astype(np.float32, copy=False).mean(axis=1)
+    M = conn.shape[0]
+    labels = np.empty(M, np.int64)
+    stack = [(np.arange(M), 0, n_parts)]
+    while stack:
+        idx, base, parts = stack.pop()
+        if parts == 1:
+            labels[idx] = base
+            continue
+        p1 = parts // 2
+        k = (idx.size * p1) // parts
+        c = cent[idx]
+        axis = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+        order = np.argpartition(c[:, axis], k)
+        stack.append((idx[order[:k]], base, p1))
+        stack.append((idx[order[k:]], base + p1, parts - p1))
+    return labels
+
+
+def morton_partition(coords, conn, n_parts: int) -> np.ndarray:
+    """Labels [M]: equal contiguous chunks of the Morton curve.
+
+    Space-filling-curve partitioning (the p4est/SFC family): element
+    sizes are EXACTLY balanced (+-1) by construction and the curve keeps
+    parts spatially compact, at the cost of a somewhat larger interface
+    than graph growing.  The right partitioner whenever per-part padding
+    costs quadratically (the hybrid Schur solver's dense interior
+    factors are padded to the LARGEST part: the balanced region grower
+    still left 9x size spread at 1M elements / 128 parts, which OOM'd
+    the solve; this is exact).  O(M log M) host time (~1 s at 1M).
+    """
+    from ..ops.packed import morton_order
+
+    conn = np.asarray(conn)
+    M = conn.shape[0]
+    perm = morton_order(np.asarray(coords), conn)
+    bounds = (np.arange(1, n_parts + 1, dtype=np.int64) * M) // n_parts
+    sizes = np.diff(np.concatenate([[0], bounds]))
+    labels = np.empty(M, np.int64)
+    labels[perm] = np.repeat(np.arange(n_parts, dtype=np.int64), sizes)
+    return labels
+
+
 def hierarchical_partition(conn, etype: str, shape: Tuple[int, int],
                            seed: int = 0, balanced: bool = True
                            ) -> Tuple[np.ndarray, np.ndarray]:

@@ -74,6 +74,22 @@ class HybridSystem:
     Echol: Optional[jnp.ndarray] = None    # [6P, 6P]
 
     # -- core ops --------------------------------------------------------
+    @staticmethod
+    def _chol_solve(L, b):
+        """Batched K^-1 b from the lower Cholesky factor.
+
+        Two explicit triangular solves instead of scipy's cho_solve: the
+        transpose is expressed via transpose_a (XLA solves against the
+        SAME buffer), where cho_solve materialized a transposed copy of
+        L — at 1M elements / 128 parts that meant three live 7 GB copies
+        of the factor and an HBM OOM."""
+        b3 = b[..., None] if b.ndim == L.ndim - 1 else b
+        y = jax.lax.linalg.triangular_solve(L, b3, left_side=True,
+                                            lower=True)
+        x = jax.lax.linalg.triangular_solve(L, y, left_side=True,
+                                            lower=True, transpose_a=True)
+        return x[..., 0] if b.ndim == L.ndim - 1 else x
+
     def _gather_iface(self, vG):
         """vG [nGlob, 3] -> per-part local [P, 3*nG]."""
         g = vG[self.gmap] * self.gmask[..., None]
@@ -95,8 +111,7 @@ class HybridSystem:
             return self._scatter_iface(_xeinsum("pgh,ph->pg", self.S, vp))
         vp = self._gather_iface(vG)                                # [P, 3nG]
         t1 = _xeinsum("pig,pg->pi", self.K_IG, vp)               # K_IG v
-        t2 = jax.vmap(lambda L, b: jax.scipy.linalg.cho_solve((L, True), b))(
-            self.chol, t1)                                         # K_II^-1
+        t2 = self._chol_solve(self.chol, t1)                   # K_II^-1
         t3 = _xeinsum("pig,pi->pg", self.K_IG, t2)               # K_GI ..
         sp = _xeinsum("pgh,ph->pg", self.K_GG, vp) - t3
         return self._scatter_iface(sp)
@@ -104,14 +119,13 @@ class HybridSystem:
     def _nn_apply(self, r):
         """Weighted per-part Schur inverse: sum_p D S_p^-1 D."""
         rp = self._gather_iface(r)
-        y = jax.vmap(lambda L, b: jax.scipy.linalg.cho_solve((L, True), b))(
-            self.Schol, rp * self.Dw)
+        y = self._chol_solve(self.Schol, rp * self.Dw)
         return self._scatter_iface(y * self.Dw) * self.gfree
 
     def _coarse_solve(self, r):
         """lam = E^-1 Z^T r (coarse rigid-body coefficients [P, 6])."""
         c = _xeinsum("pgc,pg->pc", self.Zloc, self._gather_iface(r))
-        lam = jax.scipy.linalg.cho_solve((self.Echol, True), c.reshape(-1))
+        lam = self._chol_solve(self.Echol, c.reshape(-1))
         return lam.reshape(self.meta.n_parts, -1)
 
     def _Z_apply(self, lam):
@@ -144,8 +158,7 @@ class HybridSystem:
         fI = f[self.imap] * self.imask[..., None]                  # [P,nI,3]
         fIp = fI.reshape(m.n_parts, -1)
         fG = f[self.g_nodes]                                       # [nGlob,3]
-        y = jax.vmap(lambda L, b: jax.scipy.linalg.cho_solve((L, True), b))(
-            self.chol, fIp)
+        y = self._chol_solve(self.chol, fIp)
         g = fG - self._scatter_iface(
             _xeinsum("pig,pi->pg", self.K_IG, y))
 
@@ -188,8 +201,7 @@ class HybridSystem:
         # interior back-substitution
         vp = self._gather_iface(uG)
         rhs = fIp - _xeinsum("pig,pg->pi", self.K_IG, vp)
-        uI = jax.vmap(lambda L, b: jax.scipy.linalg.cho_solve((L, True), b))(
-            self.chol, rhs).reshape(m.n_parts, -1, 3)
+        uI = self._chol_solve(self.chol, rhs).reshape(m.n_parts, -1, 3)
         u = jnp.zeros_like(f)
         u = u.at[self.imap].add(uI * self.imask[..., None])
         u = u.at[self.g_nodes].set(uG)
@@ -200,7 +212,7 @@ class HybridSystem:
 def build_hybrid(coords, conn, etype: str, E: float, nu: float,
                  n_parts: int, fixed_nodes=None, labels=None,
                  seed: int = 0, dtype=None, precondition: str = "jacobi",
-                 reg: float = 1e-6) -> HybridSystem:
+                 reg: float = 1e-6, slim: bool = False) -> HybridSystem:
     """Host+device setup: partition, per-part dense blocks, Cholesky.
 
     precondition: "jacobi" (assembled-K_GG diagonal — reference-grade),
@@ -208,7 +220,12 @@ def build_hybrid(coords, conn, etype: str, E: float, nu: float,
     inverses), or "bdd" (nn + per-part rigid-body coarse space, the
     correction that keeps interface-CG iterations bounded in the part
     count).  reg scales the relative regularization of floating-part
-    Schur complements."""
+    Schur complements.
+
+    slim=True (nn/bdd only): once the explicit per-part Schur blocks S
+    are built, K_GG is released (a [P, 1, 1] placeholder) — the solve's
+    matvec runs off S and never touches K_GG.  At 1M elements / 128
+    parts K_GG is several GB of the HBM budget."""
     from ..elements.solid import stiffness
     from .constraints import Constraints  # noqa: F401 (schema reference)
     from ..parallel.partition import partition_elements
@@ -409,8 +426,7 @@ def build_hybrid(coords, conn, etype: str, E: float, nu: float,
 
     @jax.jit
     def _nn_factors(chol_j, K_IG_j, K_GG_j, gmd, Zl):
-        t = jax.vmap(lambda L, B: jax.scipy.linalg.cho_solve(
-            (L, True), B))(chol_j, K_IG_j)                # K_II^-1 K_IG
+        t = HybridSystem._chol_solve(chol_j, K_IG_j)  # K_II^-1 K_IG
         S_true = K_GG_j - _xeinsum("pig,pih->pgh", K_IG_j, t)
         diag = _xeinsum("pgg->pg", S_true)
         scale = ((diag * gmd).sum(1)
@@ -421,8 +437,22 @@ def build_hybrid(coords, conn, etype: str, E: float, nu: float,
                  * _xeinsum("pgc,phc->pgh", Zl, Zl))      # rigid deflation
         return S_true, jnp.linalg.cholesky(S_reg)
 
-    S_j, Schol_j = _nn_factors(sys_.chol, sys_.K_IG, sys_.K_GG,
-                               jnp.asarray(gmaskdof), Zloc_j)
+    # chunk the factor build over parts: the t = K_II^-1 K_IG temporary is
+    # as large as K_IG itself — at 1M elements the full-batch call peaks
+    # ~3x the stored blocks and OOMs before the solve even starts
+    gmd_j = jnp.asarray(gmaskdof)
+    CH = max(1, P_ // 8)
+    if P_ % CH:
+        CH = P_          # uneven part counts: single batch (small cases)
+    S_parts, Sch_parts = [], []
+    for p0 in range(0, P_, CH):
+        sl = slice(p0, p0 + CH)
+        Sp, Schp = _nn_factors(sys_.chol[sl], sys_.K_IG[sl], sys_.K_GG[sl],
+                               gmd_j[sl], Zloc_j[sl])
+        S_parts.append(Sp)
+        Sch_parts.append(Schp)
+    S_j = jnp.concatenate(S_parts, axis=0)
+    Schol_j = jnp.concatenate(Sch_parts, axis=0)
     Echol_j = None
     if precondition == "bdd":
         @jax.jit
@@ -445,9 +475,14 @@ def build_hybrid(coords, conn, etype: str, E: float, nu: float,
         Echol_j = _coarse_E(S_j, jnp.asarray(Zfull_np), sys_.gmap,
                             jnp.asarray(gmaskdof))
 
-    return dataclasses.replace(
+    out = dataclasses.replace(
         sys_, Schol=Schol_j, S=S_j, Dw=jnp.asarray(Dw),
         gfree=jnp.asarray(gfree), Zloc=Zloc_j, Echol=Echol_j)
+    if slim:
+        # the S-path matvec never reads K_GG; release the buffer
+        out = dataclasses.replace(
+            out, K_GG=jnp.zeros((meta.n_parts, 1, 1), fdtype))
+    return out
 
 
 def hybrid_solve(coords, conn, etype, E, nu, f, n_parts, fixed_nodes=None,
