@@ -59,7 +59,9 @@ def main():
     sys_ = build_hybrid(coords, conn, "c3d4", 200e9, 0.3, n_parts,
                         fixed_nodes=fixed, labels=labels, dtype=jnp.float32,
                         precondition=precond,
-                        slim=bool(int(os.environ.get("HYBRID_SLIM", "1"))))
+                        slim=bool(int(os.environ.get("HYBRID_SLIM", "1"))),
+                        interior_inverse=bool(int(
+                            os.environ.get("HYBRID_INV", "1"))))
     t_build = time.time() - t0
     m = sys_.meta
     print(f"build (assembly+cholesky): {t_build:.1f}s  interface nodes="

@@ -57,7 +57,12 @@ def main():
     print(f"M={M} B={m.n_clusters} Nb={m.n_blocks}", flush=True)
 
     def yc_only(opx, X):
-        """Cluster stage only (hop1 gather + fused kernel)."""
+        """Cluster stage only (hop1 gather + fused kernel).
+
+        The chunk scaffolding mirrors PackedPartialOperator.__call__ but
+        the per-chunk work is the PRODUCTION _yc_chunk / _combine methods
+        — only the loop shell is duplicated here, so probe numbers track
+        packed.py (ADVICE r3 drift concern)."""
         fl = opx.flags
         Xp = jnp.concatenate([X, jnp.zeros((1, ROW), X.dtype)], axis=0)
         Yc = jnp.zeros((m.n_clusters, ROW), X.dtype)

@@ -129,3 +129,24 @@ def test_hybrid_bdd_iterations_bounded_in_parts():
         its.append(int(info.iterations))
     # 4x the parts must cost at most ~2x the iterations
     assert its[1] <= 2 * its[0] + 10, its
+
+
+def test_hybrid_interior_inverse_matches():
+    """interior_inverse=True (GEMV against K_II^-1) == the Cholesky path."""
+    import jax.numpy as jnp
+    from tpufem.solvers.hybrid import build_hybrid
+    from tpufem.utils import meshgen
+    coords, conn = meshgen.box_tet(4, 4, 4)
+    fixed = meshgen.boundary_nodes(coords, 2, 0.0)
+    b = np.zeros((coords.shape[0], 3))
+    b[meshgen.boundary_nodes(coords, 2, 1.0), 0] = 1e3
+    b[np.asarray(fixed)] = 0.0
+    kw = dict(fixed_nodes=fixed, seed=0, precondition="bdd")
+    s1 = build_hybrid(coords, conn, "c3d4", 200e9, 0.3, 4, **kw)
+    s2 = build_hybrid(coords, conn, "c3d4", 200e9, 0.3, 4,
+                      interior_inverse=True, slim=True, **kw)
+    u1, i1 = s1.solve(jnp.asarray(b), tol=1e-8, max_iter=400)
+    u2, i2 = s2.solve(jnp.asarray(b), tol=1e-8, max_iter=400)
+    assert int(i1.status) == 1 and int(i2.status) == 1
+    np.testing.assert_allclose(np.asarray(u2), np.asarray(u1), rtol=1e-6,
+                               atol=1e-8 * np.abs(np.asarray(u1)).max())

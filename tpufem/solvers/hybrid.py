@@ -59,14 +59,20 @@ class HybridSystem:
     Minv_G: jnp.ndarray      # [nGlob, 3] Jacobi on assembled K_GG diagonal
     meta: _HMeta
     # Neumann-Neumann / BDD interface preconditioner (round 4; None ->
-    # scalar Jacobi).  Schol holds the Cholesky factors of the per-part
+    # scalar Jacobi).  Sinv holds the explicit inverses of the per-part
     # Schur complements S_p = K_GG,p - K_GI,p K_II,p^-1 K_IG,p
     # (regularized; rigid modes of floating parts), Dw the
     # inverse-multiplicity partition-of-unity weights, gfree the free-dof
     # mask, and (Zloc, Echol) the per-part rigid-body coarse space with
     # the factorized coarse operator E = Z^T S Z — the piece that keeps
     # interface-CG iterations bounded as the part count grows.
-    Schol: Optional[jnp.ndarray] = None    # [P, 3nG, 3nG] chol(S_p + reg)
+    Sinv: Optional[jnp.ndarray] = None     # [P, 3nG, 3nG] (S_p + reg)^-1
+    # explicit interior inverse (build_hybrid(interior_inverse=True)):
+    # replaces every triangular solve against chol by one batched GEMV —
+    # XLA's transpose_a solve kept a relayouted copy of the whole factor
+    # live (1.4 GB at 1M/512), and the reference itself used explicit
+    # subdomain inverses (subdivision.ipynb cell 12, torch.linalg.inv)
+    Kinv: Optional[jnp.ndarray] = None     # [P, 3nI, 3nI] K_II^-1
     S: Optional[jnp.ndarray] = None        # [P, 3nG, 3nG] true S_p
     Dw: Optional[jnp.ndarray] = None       # [P, 3nG]
     gfree: Optional[jnp.ndarray] = None    # [nGlob, 3]
@@ -90,6 +96,15 @@ class HybridSystem:
                                             lower=True, transpose_a=True)
         return x[..., 0] if b.ndim == L.ndim - 1 else x
 
+    def _interior_solve(self, b):
+        """K_II^-1 b per part: GEMV against Kinv when stored, else the
+        Cholesky triangular-solve pair."""
+        if self.Kinv is not None:
+            if b.ndim == 2:
+                return _xeinsum("pij,pj->pi", self.Kinv, b)
+            return _xeinsum("pij,pjc->pic", self.Kinv, b)
+        return self._chol_solve(self.chol, b)
+
     def _gather_iface(self, vG):
         """vG [nGlob, 3] -> per-part local [P, 3*nG]."""
         g = vG[self.gmap] * self.gmask[..., None]
@@ -111,15 +126,23 @@ class HybridSystem:
             return self._scatter_iface(_xeinsum("pgh,ph->pg", self.S, vp))
         vp = self._gather_iface(vG)                                # [P, 3nG]
         t1 = _xeinsum("pig,pg->pi", self.K_IG, vp)               # K_IG v
-        t2 = self._chol_solve(self.chol, t1)                   # K_II^-1
+        t2 = self._interior_solve(t1)                          # K_II^-1
         t3 = _xeinsum("pig,pi->pg", self.K_IG, t2)               # K_GI ..
         sp = _xeinsum("pgh,ph->pg", self.K_GG, vp) - t3
         return self._scatter_iface(sp)
 
     def _nn_apply(self, r):
-        """Weighted per-part Schur inverse: sum_p D S_p^-1 D."""
+        """Weighted per-part Schur inverse: sum_p D S_p^-1 D.
+
+        Applied as one batched GEMV against the stored explicit inverse:
+        a cho_solve here put two triangular solves in EVERY interface-CG
+        iteration and XLA materialized a transposed copy of the [P, 3nG,
+        3nG] factor (5 GB at 1M elements / 512 parts).  The blocks are
+        regularized SPD preconditioner blocks — the explicit inverse is
+        numerically fine here (the reference used torch.linalg.inv for
+        its subdomain blocks outright, subdivision.ipynb cell 12)."""
         rp = self._gather_iface(r)
-        y = self._chol_solve(self.Schol, rp * self.Dw)
+        y = _xeinsum("pgh,ph->pg", self.Sinv, rp * self.Dw)
         return self._scatter_iface(y * self.Dw) * self.gfree
 
     def _coarse_solve(self, r):
@@ -141,7 +164,7 @@ class HybridSystem:
         the S-orthogonal complement — the additive form measured 3.8x
         WORSE than Jacobi on floating parts; the balanced form is what
         bounds iterations."""
-        if self.Schol is None:
+        if self.Sinv is None:
             return r * self.Minv_G
         if self.Echol is None:
             return self._nn_apply(r)
@@ -158,7 +181,7 @@ class HybridSystem:
         fI = f[self.imap] * self.imask[..., None]                  # [P,nI,3]
         fIp = fI.reshape(m.n_parts, -1)
         fG = f[self.g_nodes]                                       # [nGlob,3]
-        y = self._chol_solve(self.chol, fIp)
+        y = self._interior_solve(fIp)
         g = fG - self._scatter_iface(
             _xeinsum("pig,pi->pg", self.K_IG, y))
 
@@ -201,7 +224,7 @@ class HybridSystem:
         # interior back-substitution
         vp = self._gather_iface(uG)
         rhs = fIp - _xeinsum("pig,pg->pi", self.K_IG, vp)
-        uI = self._chol_solve(self.chol, rhs).reshape(m.n_parts, -1, 3)
+        uI = self._interior_solve(rhs).reshape(m.n_parts, -1, 3)
         u = jnp.zeros_like(f)
         u = u.at[self.imap].add(uI * self.imask[..., None])
         u = u.at[self.g_nodes].set(uG)
@@ -212,7 +235,8 @@ class HybridSystem:
 def build_hybrid(coords, conn, etype: str, E: float, nu: float,
                  n_parts: int, fixed_nodes=None, labels=None,
                  seed: int = 0, dtype=None, precondition: str = "jacobi",
-                 reg: float = 1e-6, slim: bool = False) -> HybridSystem:
+                 reg: float = 1e-6, slim: bool = False,
+                 interior_inverse: bool = False) -> HybridSystem:
     """Host+device setup: partition, per-part dense blocks, Cholesky.
 
     precondition: "jacobi" (assembled-K_GG diagonal — reference-grade),
@@ -354,8 +378,11 @@ def build_hybrid(coords, conn, etype: str, E: float, nu: float,
                       1.0 / np.where(diag_G == 0, 1.0, diag_G), 0.0)
 
     meta = _HMeta(P_, N, g_nodes.size, nI_max, nG_max)
+    slim = slim and precondition != "jacobi"
     sys_ = HybridSystem(
-        chol=jnp.asarray(chol), K_IG=jnp.asarray(K_IG), K_GG=jnp.asarray(K_GG),
+        chol=jnp.asarray(chol), K_IG=jnp.asarray(K_IG),
+        K_GG=(jnp.zeros((n_parts, 1, 1), fdtype) if slim
+              else jnp.asarray(K_GG)),
         gmap=jnp.asarray(gmap), gmask=jnp.asarray(gmask),
         imap=jnp.asarray(imap), imask=jnp.asarray(imask),
         g_nodes=jnp.asarray(g_nodes),
@@ -435,54 +462,81 @@ def build_hybrid(coords, conn, etype: str, E: float, nu: float,
         S_reg = (S_true + jax.vmap(jnp.diag)(add)
                  + scale[:, None, None]
                  * _xeinsum("pgc,phc->pgh", Zl, Zl))      # rigid deflation
-        return S_true, jnp.linalg.cholesky(S_reg)
+        return S_true, jnp.linalg.inv(S_reg)
 
     # chunk the factor build over parts: the t = K_II^-1 K_IG temporary is
-    # as large as K_IG itself — at 1M elements the full-batch call peaks
-    # ~3x the stored blocks and OOMs before the solve even starts
+    # as large as K_IG itself and the factor body keeps ~8 chunk-sized
+    # [CH, 3nG, 3nG] temps live — at 1M elements a P//8 chunk was still
+    # 9 x 0.9 GB and OOM'd.  Size chunks so those temps stay ~<= 1.5 GB.
+    # Under slim, K_GG never lands on the device whole: the per-chunk
+    # slices come from the HOST copy (the solve path never reads it).
     gmd_j = jnp.asarray(gmaskdof)
-    CH = max(1, P_ // 8)
-    if P_ % CH:
-        CH = P_          # uneven part counts: single batch (small cases)
-    S_parts, Sch_parts = [], []
+    ch_bytes = 8 * (3 * nG_max) ** 2 * np.dtype(fdtype).itemsize
+    CH = max(1, min(P_, int((1536 << 20) // max(ch_bytes, 1))))
+    S_parts, Sch_parts, Kinv_parts = [], [], []
+
+    @jax.jit
+    def _invert_chol(Lc):
+        eye = jnp.eye(Lc.shape[-1], dtype=Lc.dtype)[None]
+        return HybridSystem._chol_solve(
+            Lc, jnp.broadcast_to(eye, Lc.shape))
+
     for p0 in range(0, P_, CH):
         sl = slice(p0, p0 + CH)
-        Sp, Schp = _nn_factors(sys_.chol[sl], sys_.K_IG[sl], sys_.K_GG[sl],
+        kgg_c = jnp.asarray(K_GG[p0:p0 + CH]) if slim else sys_.K_GG[sl]
+        Sp, Schp = _nn_factors(sys_.chol[sl], sys_.K_IG[sl], kgg_c,
                                gmd_j[sl], Zloc_j[sl])
         S_parts.append(Sp)
         Sch_parts.append(Schp)
+        if interior_inverse:
+            Kinv_parts.append(_invert_chol(sys_.chol[sl]))
     S_j = jnp.concatenate(S_parts, axis=0)
-    Schol_j = jnp.concatenate(Sch_parts, axis=0)
+    Sinv_j = jnp.concatenate(Sch_parts, axis=0)
+    Kinv_j = None
+    if interior_inverse:
+        Kinv_j = jnp.concatenate(Kinv_parts, axis=0)
+        # the solve path never touches chol once Kinv exists
+        sys_ = dataclasses.replace(
+            sys_, chol=jnp.zeros((P_, 1, 1), fdtype), Kinv=Kinv_j)
     Echol_j = None
     if precondition == "bdd":
+        # E = Zfull^T S Zfull with the assembled Schur operator in its
+        # local-contribution form S = sum_p R_p^T S_p R_p, accumulated as
+        # E += Y_p^T S_p Y_p per part chunk (Y_p = Zfull rows of part p's
+        # dofs).  The previous one-shot form materialized a dense
+        # [P, 3nG, 6P] product and a [nGdof, 6P] scatter — several GB at
+        # 512 parts (device OOM); the chunked accumulation's largest
+        # temporary is one chunk of Y.
+        ncols = Zfull_np.shape[1]
+
         @jax.jit
-        def _coarse_E(S, Zfull, gmap_j, gmd):
-            # E = Zfull^T S Zfull via the local-contribution form of the
-            # assembled Schur operator: S = sum_p R_p^T S_p R_p
-            Y = (Zfull.reshape(meta.n_interface, 3, -1)[gmap_j]
-                 .reshape(P_, 3 * nG_max, -1) * gmd[..., None])
-            W = _xeinsum("pgh,phc->pgc", S, Y)
-            SZ = jax.ops.segment_sum(
-                W.reshape(-1, W.shape[-1])[sys_.scat_perm], sys_.scat_seg,
-                num_segments=meta.n_interface * 3, indices_are_sorted=True)
-            Ec = Zfull.T @ SZ
+        def _e_chunk(Sc, Yc):
+            return _xeinsum("pgc,pgh,phd->cd", Yc, Sc, Yc)
+
+        Zf3 = Zfull_np.reshape(meta.n_interface, 3, ncols)
+        CH_E = max(1, min(P_, int((512 << 20)
+                                  // max(3 * nG_max * ncols * 4, 1))))
+        Ec = jnp.zeros((ncols, ncols), fdtype)
+        for p0 in range(0, P_, CH_E):
+            p1 = min(p0 + CH_E, P_)
+            Yc = (Zf3[gmap[p0:p1]].reshape(p1 - p0, 3 * nG_max, ncols)
+                  * gmaskdof[p0:p1, :, None])
+            Ec = Ec + _e_chunk(S_j[p0:p1], jnp.asarray(Yc))
+
+        @jax.jit
+        def _e_factor(Ec):
             de = jnp.diag(Ec)
             scale_e = de.sum() / jnp.maximum((de > 0).sum(), 1)
             Ec = Ec + jnp.diag(jnp.where(de <= 1e-12 * scale_e,
                                          scale_e, 1e-10 * scale_e))
             return jnp.linalg.cholesky(Ec)
 
-        Echol_j = _coarse_E(S_j, jnp.asarray(Zfull_np), sys_.gmap,
-                            jnp.asarray(gmaskdof))
+        Echol_j = _e_factor(Ec)
 
-    out = dataclasses.replace(
-        sys_, Schol=Schol_j, S=S_j, Dw=jnp.asarray(Dw),
+    return dataclasses.replace(
+        sys_, Sinv=Sinv_j, S=S_j, Dw=jnp.asarray(Dw),
         gfree=jnp.asarray(gfree), Zloc=Zloc_j, Echol=Echol_j)
-    if slim:
-        # the S-path matvec never reads K_GG; release the buffer
-        out = dataclasses.replace(
-            out, K_GG=jnp.zeros((meta.n_parts, 1, 1), fdtype))
-    return out
+    # (Kinv, when requested, was already swapped in above)
 
 
 def hybrid_solve(coords, conn, etype, E, nu, f, n_parts, fixed_nodes=None,
