@@ -61,7 +61,9 @@ def main():
                         precondition=precond,
                         slim=bool(int(os.environ.get("HYBRID_SLIM", "1"))),
                         interior_inverse=bool(int(
-                            os.environ.get("HYBRID_INV", "1"))))
+                            os.environ.get("HYBRID_INV", "1"))),
+                        matrix_free_gg=bool(int(
+                            os.environ.get("HYBRID_MF", "1"))))
     t_build = time.time() - t0
     m = sys_.meta
     print(f"build (assembly+cholesky): {t_build:.1f}s  interface nodes="

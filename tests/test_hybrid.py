@@ -150,3 +150,34 @@ def test_hybrid_interior_inverse_matches():
     assert int(i1.status) == 1 and int(i2.status) == 1
     np.testing.assert_allclose(np.asarray(u2), np.asarray(u1), rtol=1e-6,
                                atol=1e-8 * np.abs(np.asarray(u1)).max())
+
+
+def test_hybrid_matrix_free_interface_matches():
+    """matrix_free_gg=True (global-operator interface matvec, no stored
+    Schur blocks) == the dense-S path."""
+    import jax.numpy as jnp
+    from tpufem.solvers.hybrid import build_hybrid
+    from tpufem.utils import meshgen
+    coords, conn = meshgen.box_tet(4, 4, 4)
+    fixed = meshgen.boundary_nodes(coords, 2, 0.0)
+    N = coords.shape[0]
+    b = np.zeros((N, 3))
+    b[meshgen.boundary_nodes(coords, 2, 1.0), 0] = 1e3
+    b[np.asarray(fixed)] = 0.0
+    kw = dict(fixed_nodes=fixed, seed=0, precondition="bdd")
+    s1 = build_hybrid(coords, conn, "c3d4", 200e9, 0.3, 4, **kw)
+    s2 = build_hybrid(coords, conn, "c3d4", 200e9, 0.3, 4, slim=True,
+                      interior_inverse=True, matrix_free_gg=True, **kw)
+    assert s2.S is None and s2.mf_op is not None
+    # matvec parity on a random interface vector
+    rng = np.random.default_rng(0)
+    v = jnp.asarray(rng.standard_normal((int(s1.g_nodes.shape[0]), 3)))
+    sv1 = np.asarray(s1.schur_matvec(v))
+    sv2 = np.asarray(s2.schur_matvec(v))
+    np.testing.assert_allclose(sv2, sv1, rtol=1e-9,
+                               atol=1e-10 * np.abs(sv1).max())
+    u1, i1 = s1.solve(jnp.asarray(b), tol=1e-8, max_iter=400)
+    u2, i2 = s2.solve(jnp.asarray(b), tol=1e-8, max_iter=400)
+    assert int(i1.status) == 1 and int(i2.status) == 1
+    np.testing.assert_allclose(np.asarray(u2), np.asarray(u1), rtol=1e-5,
+                               atol=1e-7 * np.abs(np.asarray(u1)).max())

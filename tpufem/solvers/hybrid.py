@@ -74,6 +74,14 @@ class HybridSystem:
     # subdomain inverses (subdivision.ipynb cell 12, torch.linalg.inv)
     Kinv: Optional[jnp.ndarray] = None     # [P, 3nI, 3nI] K_II^-1
     S: Optional[jnp.ndarray] = None        # [P, 3nG, 3nG] true S_p
+    # matrix-free assembled-interface action (build_hybrid(
+    # matrix_free_gg=True)): sum_p K_GG,p R_p v is exactly the GLOBAL
+    # matrix-free operator applied to an interface-supported vector, so
+    # the [P, 3nG, 3nG] dense blocks (5.4 GB padded at 1M elements / 512
+    # parts) need not exist — the flagship geometry-factor operator
+    # carries the interface matvec.
+    mf_op: Optional[object] = None         # ops.partial operator [N,3]->[N,3]
+    mf_free: Optional[jnp.ndarray] = None  # [N, 3] 1.0 free / 0.0 fixed
     Dw: Optional[jnp.ndarray] = None       # [P, 3nG]
     gfree: Optional[jnp.ndarray] = None    # [nGlob, 3]
     Zloc: Optional[jnp.ndarray] = None     # [P, 3nG, 6]
@@ -119,6 +127,20 @@ class HybridSystem:
         return out.reshape(-1, 3)
 
     def schur_matvec(self, vG):
+        if self.mf_op is not None:
+            # assembled-interface action via the global matrix-free
+            # operator (masked rows/cols + unit diagonal on fixed dofs —
+            # identical to the symmetric-zeroed assembled K)
+            N = self.meta.n_nodes
+            v_full = jnp.zeros((N, 3), vG.dtype).at[self.g_nodes].set(vG)
+            vf = v_full * self.mf_free
+            Av = (self.mf_op(vf) * self.mf_free)[self.g_nodes]
+            Av = Av + (1.0 - self.mf_free[self.g_nodes]) * vG
+            vp = self._gather_iface(vG)
+            t1 = _xeinsum("pig,pg->pi", self.K_IG, vp)
+            t2 = self._interior_solve(t1)
+            t3 = _xeinsum("pig,pi->pg", self.K_IG, t2)
+            return Av - self._scatter_iface(t3)
         if self.S is not None:
             # explicit per-part Schur blocks: one batched dense GEMV per
             # iteration instead of two interior triangular solves
@@ -236,7 +258,8 @@ def build_hybrid(coords, conn, etype: str, E: float, nu: float,
                  n_parts: int, fixed_nodes=None, labels=None,
                  seed: int = 0, dtype=None, precondition: str = "jacobi",
                  reg: float = 1e-6, slim: bool = False,
-                 interior_inverse: bool = False) -> HybridSystem:
+                 interior_inverse: bool = False,
+                 matrix_free_gg: bool = False) -> HybridSystem:
     """Host+device setup: partition, per-part dense blocks, Cholesky.
 
     precondition: "jacobi" (assembled-K_GG diagonal — reference-grade),
@@ -474,6 +497,7 @@ def build_hybrid(coords, conn, etype: str, E: float, nu: float,
     ch_bytes = 8 * (3 * nG_max) ** 2 * np.dtype(fdtype).itemsize
     CH = max(1, min(P_, int((1536 << 20) // max(ch_bytes, 1))))
     S_parts, Sch_parts, Kinv_parts = [], [], []
+    keep_S = not matrix_free_gg        # mf path never reads the blocks
 
     @jax.jit
     def _invert_chol(Lc):
@@ -481,16 +505,40 @@ def build_hybrid(coords, conn, etype: str, E: float, nu: float,
         return HybridSystem._chol_solve(
             Lc, jnp.broadcast_to(eye, Lc.shape))
 
+    # coarse-E accumulation happens INSIDE the factor loop so S chunks
+    # can die immediately under matrix_free_gg: E = Zfull^T S Zfull with
+    # S = sum_p R_p^T S_p R_p, i.e. E += Y_p^T S_p Y_p per chunk (the
+    # one-shot form materialized [P, 3nG, 6P] + [nGdof, 6P] — GBs)
+    bdd = precondition == "bdd"
+    if bdd:
+        ncols = Zfull_np.shape[1]
+        Zf3 = Zfull_np.reshape(meta.n_interface, 3, ncols)
+        CE = max(1, min(CH, int((512 << 20)
+                                // max(3 * nG_max * ncols * 4, 1))))
+        Ec = jnp.zeros((ncols, ncols), fdtype)
+
+        @jax.jit
+        def _e_chunk(Sc, Yc):
+            return _xeinsum("pgc,pgh,phd->cd", Yc, Sc, Yc)
+
     for p0 in range(0, P_, CH):
-        sl = slice(p0, p0 + CH)
-        kgg_c = jnp.asarray(K_GG[p0:p0 + CH]) if slim else sys_.K_GG[sl]
+        p1 = min(p0 + CH, P_)
+        sl = slice(p0, p1)
+        kgg_c = jnp.asarray(K_GG[sl]) if slim else sys_.K_GG[sl]
         Sp, Schp = _nn_factors(sys_.chol[sl], sys_.K_IG[sl], kgg_c,
                                gmd_j[sl], Zloc_j[sl])
-        S_parts.append(Sp)
+        if bdd:
+            for e0 in range(p0, p1, CE):
+                e1 = min(e0 + CE, p1)
+                Yc = (Zf3[gmap[e0:e1]].reshape(e1 - e0, 3 * nG_max, ncols)
+                      * gmaskdof[e0:e1, :, None])
+                Ec = Ec + _e_chunk(Sp[e0 - p0:e1 - p0], jnp.asarray(Yc))
+        if keep_S:
+            S_parts.append(Sp)
         Sch_parts.append(Schp)
         if interior_inverse:
             Kinv_parts.append(_invert_chol(sys_.chol[sl]))
-    S_j = jnp.concatenate(S_parts, axis=0)
+    S_j = jnp.concatenate(S_parts, axis=0) if keep_S else None
     Sinv_j = jnp.concatenate(Sch_parts, axis=0)
     Kinv_j = None
     if interior_inverse:
@@ -499,30 +547,7 @@ def build_hybrid(coords, conn, etype: str, E: float, nu: float,
         sys_ = dataclasses.replace(
             sys_, chol=jnp.zeros((P_, 1, 1), fdtype), Kinv=Kinv_j)
     Echol_j = None
-    if precondition == "bdd":
-        # E = Zfull^T S Zfull with the assembled Schur operator in its
-        # local-contribution form S = sum_p R_p^T S_p R_p, accumulated as
-        # E += Y_p^T S_p Y_p per part chunk (Y_p = Zfull rows of part p's
-        # dofs).  The previous one-shot form materialized a dense
-        # [P, 3nG, 6P] product and a [nGdof, 6P] scatter — several GB at
-        # 512 parts (device OOM); the chunked accumulation's largest
-        # temporary is one chunk of Y.
-        ncols = Zfull_np.shape[1]
-
-        @jax.jit
-        def _e_chunk(Sc, Yc):
-            return _xeinsum("pgc,pgh,phd->cd", Yc, Sc, Yc)
-
-        Zf3 = Zfull_np.reshape(meta.n_interface, 3, ncols)
-        CH_E = max(1, min(P_, int((512 << 20)
-                                  // max(3 * nG_max * ncols * 4, 1))))
-        Ec = jnp.zeros((ncols, ncols), fdtype)
-        for p0 in range(0, P_, CH_E):
-            p1 = min(p0 + CH_E, P_)
-            Yc = (Zf3[gmap[p0:p1]].reshape(p1 - p0, 3 * nG_max, ncols)
-                  * gmaskdof[p0:p1, :, None])
-            Ec = Ec + _e_chunk(S_j[p0:p1], jnp.asarray(Yc))
-
+    if bdd:
         @jax.jit
         def _e_factor(Ec):
             de = jnp.diag(Ec)
@@ -533,9 +558,21 @@ def build_hybrid(coords, conn, etype: str, E: float, nu: float,
 
         Echol_j = _e_factor(Ec)
 
+    mf_op = mf_free = None
+    if matrix_free_gg:
+        # the interface matvec runs through the global geometry-factor
+        # operator; the dense Schur blocks are only TRANSIENT inputs of
+        # the Sinv / coarse-E build above
+        from ..ops.partial import PartialAssemblyOperator
+        mf_op = PartialAssemblyOperator.build(
+            jnp.asarray(coords_np, fdtype), conn_np, etype, E, nu,
+            dtype=fdtype, n_nodes=N)
+        mf_free = jnp.asarray(
+            np.repeat(~fixed_mask_node, 3).reshape(N, 3).astype(fdtype))
     return dataclasses.replace(
-        sys_, Sinv=Sinv_j, S=S_j, Dw=jnp.asarray(Dw),
-        gfree=jnp.asarray(gfree), Zloc=Zloc_j, Echol=Echol_j)
+        sys_, Sinv=Sinv_j, S=S_j,
+        Dw=jnp.asarray(Dw), gfree=jnp.asarray(gfree), Zloc=Zloc_j,
+        Echol=Echol_j, mf_op=mf_op, mf_free=mf_free)
     # (Kinv, when requested, was already swapped in above)
 
 
