@@ -169,6 +169,119 @@ def test_vtu_inline_base64_compressed(tmp_path):
     np.testing.assert_array_equal(blocks["c3d4"], conn)
 
 
+def _vtk_style_compressed_appended(coords, conn, header_dtype, blocksize,
+                                   encode_b64):
+    """Emulate vtkXMLUnstructuredGridWriter output byte-for-byte in shape:
+    appended data, vtkZLibDataCompressor with the given block size
+    (VTK default 32768 — large arrays span MULTIPLE blocks), offsets in
+    ENCODED space when encode_b64 (each array base64'd separately, header
+    segment separate from body — the pyvista/VTK writer contract)."""
+    import base64
+    import zlib
+
+    hd = np.dtype(header_dtype)
+    hname = {"<u4": "UInt32", "<u8": "UInt64", "<i4": "Int32"}[
+        str(hd.str).replace("|", "<")]
+    n, m = coords.shape[0], conn.shape[0]
+    offs = np.arange(1, m + 1) * conn.shape[1]
+    arrays = [("Float64", "Points", coords.astype("<f8")),
+              ("Int64", "connectivity", conn.astype("<i8")),
+              ("Int64", "offsets", offs.astype("<i8")),
+              ("UInt8", "types",
+               np.full(m, vtk.ETYPE_TO_VTK["c3d4"], "u1"))]
+    payload = b"" if not encode_b64 else ""
+    offsets = []
+    for _, _, arr in arrays:
+        raw = np.ascontiguousarray(arr).tobytes()
+        blocks = [raw[i:i + blocksize] for i in range(0, len(raw), blocksize)]
+        comp = [zlib.compress(b) for b in blocks]
+        head = np.array([len(blocks), blocksize,
+                         len(blocks[-1]) if blocks else 0]
+                        + [len(c) for c in comp], hd).tobytes()
+        offsets.append(len(payload))
+        if encode_b64:
+            payload += (base64.b64encode(head).decode()
+                        + base64.b64encode(b"".join(comp)).decode())
+        else:
+            payload += head + b"".join(comp)
+    enc = "base64" if encode_b64 else "raw"
+    xml = (
+        '<?xml version="1.0"?>\n'
+        '<VTKFile type="UnstructuredGrid" version="1.0" '
+        f'byte_order="LittleEndian" header_type="{hname}" '
+        'compressor="vtkZLibDataCompressor">\n'
+        '<UnstructuredGrid>'
+        f'<Piece NumberOfPoints="{n}" NumberOfCells="{m}">\n'
+        '<Points><DataArray type="Float64" NumberOfComponents="3" '
+        f'format="appended" offset="{offsets[0]}"/></Points>\n'
+        '<Cells>'
+        '<DataArray type="Int64" Name="connectivity" format="appended" '
+        f'offset="{offsets[1]}"/>\n'
+        '<DataArray type="Int64" Name="offsets" format="appended" '
+        f'offset="{offsets[2]}"/>\n'
+        '<DataArray type="UInt8" Name="types" format="appended" '
+        f'offset="{offsets[3]}"/>'
+        '</Cells></Piece></UnstructuredGrid>\n'
+        f'<AppendedData encoding="{enc}">_')
+    tail = '</AppendedData>\n</VTKFile>\n'
+    if encode_b64:
+        return (xml + payload + tail).encode()
+    return xml.encode() + payload + tail.encode()
+
+
+@pytest.mark.parametrize("header_dtype", ["<u4", "<u8", "<i4"])
+@pytest.mark.parametrize("encode_b64", [False, True])
+def test_vtu_multiblock_compressed_appended(tmp_path, header_dtype,
+                                            encode_b64):
+    """pyvista's actual default output: appended zlib data in 32 KB
+    blocks (multi-block for large arrays), UInt32/UInt64/Int32 headers,
+    raw or per-array base64 encoding (offsets in encoded space)."""
+    coords, conn = meshgen.box_tet(6, 6, 6)   # conn bytes > 2 blocks
+    data = _vtk_style_compressed_appended(coords, conn, header_dtype,
+                                          blocksize=8192,
+                                          encode_b64=encode_b64)
+    p = tmp_path / "pv.vtu"
+    p.write_bytes(data)
+    pts, blocks = vtk.read_vtu(str(p))
+    np.testing.assert_allclose(pts, coords)
+    np.testing.assert_array_equal(blocks["c3d4"], conn)
+
+
+def test_vtu_uint8_header_inline(tmp_path):
+    """UInt8 header_type variant (tiny arrays, uncompressed inline b64)."""
+    import base64
+
+    coords, conn = meshgen.box_tet(1, 1, 1)
+    n, m = coords.shape[0], conn.shape[0]
+    offs = np.arange(1, m + 1) * 4
+
+    def b64(arr):
+        raw = np.ascontiguousarray(arr).tobytes()
+        assert len(raw) < 256
+        return base64.b64encode(bytes([len(raw)]) + raw).decode()
+
+    p = tmp_path / "u8.vtu"
+    p.write_text(
+        '<?xml version="1.0"?>\n'
+        '<VTKFile type="UnstructuredGrid" byte_order="LittleEndian" '
+        'header_type="UInt8">\n'
+        '<UnstructuredGrid>'
+        f'<Piece NumberOfPoints="{n}" NumberOfCells="{m}">\n'
+        '<Points><DataArray type="Float32" NumberOfComponents="3" '
+        'format="binary">' + b64(coords.astype("<f4")) +
+        '</DataArray></Points>\n'
+        '<Cells><DataArray type="Int32" Name="connectivity" format="binary">'
+        + b64(conn.astype("<i4")) + '</DataArray>\n'
+        '<DataArray type="Int32" Name="offsets" format="binary">'
+        + b64(offs.astype("<i4")) + '</DataArray>\n'
+        '<DataArray type="UInt8" Name="types" format="binary">'
+        + b64(np.full(m, 10, "u1")) + '</DataArray>'
+        '</Cells></Piece></UnstructuredGrid></VTKFile>\n')
+    pts, blocks = vtk.read_vtu(str(p))
+    np.testing.assert_allclose(pts, coords.astype(np.float32))
+    np.testing.assert_array_equal(blocks["c3d4"], conn)
+
+
 def test_h5_sample_roundtrip(tmp_path):
     import h5py
 

@@ -171,46 +171,70 @@ _VTU_DTYPES = {
 }
 
 
-def _vtu_decode(elem, appended: Optional[bytes], byte_order: str,
+def _b64_take(txt: str, start: int, nbytes: int) -> bytes:
+    """Decode exactly nbytes from a 4-char-aligned offset of a base64
+    stream (decoding only as many chars as needed: VTK appends further
+    arrays after this one in the same stream, so decoding to the end
+    would hit their padding)."""
+    nchars = 4 * (-(-nbytes // 3))
+    return base64.b64decode(txt[start:start + nchars])[:nbytes]
+
+
+def _vtu_decode(elem, appended, byte_order: str,
                 header_dtype, compressed: bool) -> np.ndarray:
-    """Decode one <DataArray> element to a flat numpy array."""
+    """Decode one <DataArray> element to a flat numpy array.
+
+    appended: None, ("raw", bytes) or ("b64", str).  VTK encodes each
+    appended array SEPARATELY (offset attributes count encoded chars),
+    and under compression the header is a separate base64 segment from
+    the body — both for inline `binary` format and base64 appended data
+    (vtkXMLWriter behavior; reference loader gets this via pyvista,
+    solver/element.py:39-90)."""
     dt = np.dtype(byte_order + _VTU_DTYPES[elem.get("type").lower()])
     fmt = (elem.get("format") or "ascii").lower()
     if fmt == "ascii":
         return np.array((elem.text or "").split(), dtype=dt)
     hd = np.dtype(header_dtype)
+    txt = None
     if fmt == "binary":
         txt = "".join((elem.text or "").split())
-        if compressed:
-            # header and body are SEPARATE base64 segments: decode enough
-            # chars for the block count, then the full header, then the body
-            first = base64.b64decode(txt[:4 * (-(-hd.itemsize // 3))])
-            nb = int(np.frombuffer(first, hd, 1, 0)[0])
-            hlen = (3 + nb) * hd.itemsize
-            hb64 = 4 * (-(-hlen // 3))
-            head = np.frombuffer(base64.b64decode(txt[:hb64]), hd, 3 + nb, 0)
-            raw = base64.b64decode(txt[hb64:])
-            pos = 0
-        else:
-            raw = base64.b64decode(txt)
     elif fmt == "appended":
         if appended is None:
             raise ValueError("appended DataArray but no AppendedData section")
-        raw = appended[int(elem.get("offset", "0")):]
-        if compressed:
-            nb = int(np.frombuffer(raw, hd, 1, 0)[0])
-            head = np.frombuffer(raw, hd, 3 + nb, 0)
-            pos = (3 + nb) * hd.itemsize
+        enc, payload = appended
+        off = int(elem.get("offset", "0"))
+        if enc == "b64":
+            txt = payload[off:]
+        else:
+            raw = payload[off:]
     else:
         raise ValueError(f"unknown DataArray format {fmt!r}")
     if compressed:
+        if txt is not None:
+            # header and body are SEPARATE base64 segments
+            first = _b64_take(txt, 0, hd.itemsize)
+            nb = int(np.frombuffer(first, hd, 1, 0)[0])
+            hlen = (3 + nb) * hd.itemsize
+            head = np.frombuffer(_b64_take(txt, 0, hlen), hd, 3 + nb, 0)
+            hb64 = 4 * (-(-hlen // 3))
+            raw = _b64_take(txt, hb64, int(head[3:].sum()))
+            pos = 0
+        else:
+            nb = int(np.frombuffer(raw, hd, 1, 0)[0])
+            head = np.frombuffer(raw, hd, 3 + nb, 0)
+            pos = (3 + nb) * hd.itemsize
         # header: [nblocks, blocksize, last_blocksize, compressed sizes...]
         chunks = []
         for s in head[3:]:
             chunks.append(zlib.decompress(raw[pos:pos + int(s)]))
             pos += int(s)
         return np.frombuffer(b"".join(chunks), dtype=dt)
-    nbytes = int(np.frombuffer(raw, hd, 1, 0)[0])
+    if txt is not None:
+        first = _b64_take(txt, 0, hd.itemsize)
+        nbytes = int(np.frombuffer(first, hd, 1, 0)[0])
+        raw = _b64_take(txt, 0, hd.itemsize + nbytes)
+    else:
+        nbytes = int(np.frombuffer(raw, hd, 1, 0)[0])
     return np.frombuffer(raw, dt, nbytes // dt.itemsize, hd.itemsize)
 
 
@@ -238,9 +262,9 @@ def read_vtu(path: str) -> Tuple[np.ndarray, Dict[str, np.ndarray]]:
         encoding = b"base64" if (0 <= enc_m < gt
                                  and b"base64" in data[enc_m:gt]) else b"raw"
         if encoding == b"base64":
-            appended = base64.b64decode(b"".join(payload.split()))
+            appended = ("b64", b"".join(payload.split()).decode("ascii"))
         else:
-            appended = payload
+            appended = ("raw", bytes(payload))
         data = data[:start] + data[end:]
 
     root = ET.fromstring(data.decode("latin1"))

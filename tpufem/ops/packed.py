@@ -838,16 +838,19 @@ class PackedPartialOperator:
         from ..elements.tables import element_table
 
         conn = np.asarray(conn)
-        coords_np = np.asarray(coords)
+        # NEVER np.asarray(coords) unconditionally: on the tunneled axon
+        # backend a device->host readback runs at ~0.3 MB/s (measured:
+        # 160 MB = 575 s), so coords is materialized on host only when a
+        # host-side pass (plan build / geometry compute) actually needs it.
         if n_nodes is None and plan is None:
             raise ValueError("pass n_nodes or a prebuilt plan")
         if plan is None:
-            plan = PackedPlan.build(coords_np, conn, int(n_nodes),
+            plan = PackedPlan.build(np.asarray(coords), conn, int(n_nodes),
                                     elems_per_cluster,
                                     window_buckets=window_buckets)
         m = plan.meta
         table = element_table(etype, rule)
-        dtype = dtype or jnp.asarray(coords).dtype
+        dtype = dtype or jax.dtypes.canonicalize_dtype(coords.dtype)
         B, E_c = m.n_clusters, m.elems_per_cluster
         if fuse is None:
             # measured on v5e (scripts/probe_fused.py / probe_scale_fused):
@@ -872,7 +875,7 @@ class PackedPartialOperator:
             conn_sel = conn[np.maximum(esrc, 0)]
             from .partial import chunked_geometry
             Jinv, W, affine_meas = chunked_geometry(
-                jnp.asarray(coords_np, dtype), conn_sel, table, dtype)
+                jnp.asarray(coords, dtype), conn_sel, table, dtype)
             W = W * jnp.asarray(valid, dtype)[:, None]   # zero pad elements
             if affine is None:
                 affine = affine_meas
@@ -1367,12 +1370,9 @@ class PackedSystem:
     def constraints(self):
         return self.pc
 
-    def solve(self, b, x0=None, tol: float = 1e-8, max_iter: int = 1000,
-              dot_dtype=None):
-        """b [N, 3] -> (u [N, 3], SolveInfo); whole PCG is one XLA program."""
+    def _jitted(self, tol, max_iter, dot_dtype):
         from ..solvers.cg import cg
 
-        plan = self.op.plan
         key = (float(tol), int(max_iter), str(dot_dtype))
         if key not in self._solve:
             def run(op, bX, x0X, pc, minv):
@@ -1381,10 +1381,30 @@ class PackedSystem:
                              dot_dtype=dot_dtype)
                 return u, info
             self._solve[key] = jax.jit(run)
+        return key
+
+    def _args(self, b, x0):
+        plan = self.op.plan
         bX = plan.pack(jnp.asarray(b, self.mask.dtype))
         x0X = (plan.pack(jnp.asarray(x0, self.mask.dtype))
                if x0 is not None else jnp.zeros_like(bX))
-        uX, info = self._solve[key](self.op, bX, x0X, self.pc,
-                                    self.M_inv if self.M_inv is not None
-                                    else jnp.ones_like(bX))
-        return plan.unpack(uX), info
+        return (self.op, bX, x0X, self.pc,
+                self.M_inv if self.M_inv is not None else jnp.ones_like(bX))
+
+    def warm(self, b, x0=None, tol: float = 1e-8, max_iter: int = 1000,
+             dot_dtype=None) -> None:
+        """AOT-compile the solve program for this (tol, max_iter) WITHOUT
+        running it (lower+compile; the executable replaces the jit
+        wrapper).  Lets benchmarks time a single converged solve with
+        compilation excluded."""
+        key = self._jitted(tol, max_iter, dot_dtype)
+        f = self._solve[key]
+        if hasattr(f, "lower"):
+            self._solve[key] = f.lower(*self._args(b, x0)).compile()
+
+    def solve(self, b, x0=None, tol: float = 1e-8, max_iter: int = 1000,
+              dot_dtype=None):
+        """b [N, 3] -> (u [N, 3], SolveInfo); whole PCG is one XLA program."""
+        key = self._jitted(tol, max_iter, dot_dtype)
+        uX, info = self._solve[key](*self._args(b, x0))
+        return self.op.plan.unpack(uX), info

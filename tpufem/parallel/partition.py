@@ -161,8 +161,8 @@ def rcb_partition(coords, conn, n_parts: int) -> np.ndarray:
     stack = [(np.arange(M), 0, n_parts)]
     while stack:
         idx, base, parts = stack.pop()
-        if parts == 1:
-            labels[idx] = base
+        if parts == 1 or idx.size <= 1:
+            labels[idx] = base          # n_parts > M: surplus parts empty
             continue
         p1 = parts // 2
         k = (idx.size * p1) // parts

@@ -277,6 +277,14 @@ def build_hybrid(coords, conn, etype: str, E: float, nu: float,
     from .constraints import Constraints  # noqa: F401 (schema reference)
     from ..parallel.partition import partition_elements
 
+    if precondition == "jacobi" and (slim or interior_inverse
+                                     or matrix_free_gg):
+        raise ValueError(
+            "slim/interior_inverse/matrix_free_gg require precondition="
+            "'nn' or 'bdd'; with precondition='jacobi' the solve runs the "
+            "full dense K_GG + Cholesky system and those flags would be "
+            "silently ignored")
+
     conn_np = np.asarray(conn)
     coords_np = np.asarray(jax.device_get(coords))
     N = coords_np.shape[0]
@@ -401,7 +409,6 @@ def build_hybrid(coords, conn, etype: str, E: float, nu: float,
                       1.0 / np.where(diag_G == 0, 1.0, diag_G), 0.0)
 
     meta = _HMeta(P_, N, g_nodes.size, nI_max, nG_max)
-    slim = slim and precondition != "jacobi"
     sys_ = HybridSystem(
         chol=jnp.asarray(chol), K_IG=jnp.asarray(K_IG),
         K_GG=(jnp.zeros((n_parts, 1, 1), fdtype) if slim
@@ -513,8 +520,9 @@ def build_hybrid(coords, conn, etype: str, E: float, nu: float,
     if bdd:
         ncols = Zfull_np.shape[1]
         Zf3 = Zfull_np.reshape(meta.n_interface, 3, ncols)
-        CE = max(1, min(CH, int((512 << 20)
-                                // max(3 * nG_max * ncols * 4, 1))))
+        CE = max(1, min(CH, int(
+            (512 << 20)
+            // max(3 * nG_max * ncols * np.dtype(fdtype).itemsize, 1))))
         Ec = jnp.zeros((ncols, ncols), fdtype)
 
         @jax.jit
