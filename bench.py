@@ -207,11 +207,15 @@ def _scale_block(ns: int, full: bool) -> dict:
     precond = os.environ.get("BENCH_SOLVE_PRECOND", "block")
     tol_rel = float(os.environ.get("BENCH_SOLVE_TOL", "1e-6"))
     max_iter = int(os.environ.get("BENCH_SOLVE_MAX_ITER", "20000"))
+    every = int(os.environ.get("BENCH_SOLVE_EVERY", "500"))
     bnorm = float(np.linalg.norm(sb_f))
     ssys = PackedSystem(sop, fixed_nodes=fixed, precondition=precond)
-    ssys.warm(sb_f, tol=tol_rel * bnorm, max_iter=max_iter)
+    # chunked: bounded-length device programs (a single multi-thousand-
+    # iteration execution crashed the TPU worker), exact continuation
+    ssys.warm_chunked(sb_f, tol=tol_rel * bnorm, every=every)
     t0 = time.time()
-    su, sinfo = ssys.solve(sb_f, tol=tol_rel * bnorm, max_iter=max_iter)
+    su, sinfo = ssys.solve_chunked(sb_f, tol=tol_rel * bnorm,
+                                   max_iter=max_iter, every=every)
     rnorm = float(sinfo.residual_norm)
     t_solve = time.time() - t0
     iters = int(sinfo.iterations)

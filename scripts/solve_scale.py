@@ -67,18 +67,22 @@ def main():
     bnorm = float(np.linalg.norm(b))
     tol = tol_rel * bnorm
 
-    # warm: compile + lazy plan transfer on a 2-iteration call
+    # warm: compile + lazy plan transfer on a 2-iteration call, then AOT
+    # compile of the chunked program (a single multi-thousand-iteration
+    # XLA execution crashed the TPU worker; chunks of `every` are exact)
+    every = int(os.environ.get("SOLVE_EVERY", "500"))
     t0 = time.time()
     _, info_w = sys_.solve(b, tol=0.0, max_iter=2)
     float(info_w.residual_norm)
+    sys_.warm_chunked(b, tol=tol, every=every)
     print(f"warmup (transfer+compile): {time.time() - t0:.1f}s", flush=True)
 
     t0 = time.time()
-    u, info = sys_.solve(b, tol=tol, max_iter=max_iter)
+    u, info = sys_.solve_chunked(b, tol=tol, max_iter=max_iter, every=every)
     rnorm = float(info.residual_norm)       # forces completion
     t_solve = time.time() - t0
     iters = int(info.iterations)
-    hist = np.asarray(info.residual_history)
+    hist = np.asarray(info.history)
     hist = hist[np.isfinite(hist)]
     u_np = np.asarray(u[top, 2])
     out = {

@@ -528,3 +528,104 @@ def test_operator_fuse_flag_matches_staged(mode):
     np.testing.assert_allclose(np.asarray(op_f.diagonal()),
                                np.asarray(op_s.diagonal()), rtol=1e-6,
                                atol=1e-9)
+
+
+def _packed_sys(coords, conn, etype="c3d10", precondition="jacobi"):
+    from tpufem.ops.packed import PackedSystem
+    N = coords.shape[0]
+    op = PackedPartialOperator.build(jnp.asarray(coords, jnp.float64), conn,
+                                     etype, E, NU, n_nodes=N, interpret=True)
+    fixed = meshgen.boundary_nodes(coords, 2, 0.0)
+    return (PackedSystem(op, fixed_nodes=fixed, precondition=precondition),
+            fixed)
+
+
+def test_packed_bicgstab_parity():
+    """BiCGStab through the packed operator vs the [N, 3] path (VERDICT
+    r4 item 9: the whole solver family on the flagship operator)."""
+    from tpufem.solvers.bicgstab import bicgstab
+    from tpufem.solvers.constraints import Constraints
+    coords, conn = meshgen.box_tet10(3, 3, 3)
+    N = coords.shape[0]
+    sys_, fixed = _packed_sys(coords, conn)
+    b = np.zeros((N, 3))
+    b[meshgen.boundary_nodes(coords, 2, 1.0), 0] = 1e3
+    u, info = sys_.solve_bicgstab(b, tol=1e-10, max_iter=4000)
+    assert int(info.status) == 1
+    op_ref = _ref_op(coords, conn, "c3d10")
+    cons = Constraints.fixed(N, fixed, 3, dtype=np.float64)
+    u_ref, info_ref = bicgstab(op_ref, jnp.asarray(b), constraints=cons,
+                               tol=1e-10, max_iter=4000)
+    assert int(info_ref.status) == 1
+    np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref), rtol=1e-5,
+                               atol=1e-7 * np.abs(np.asarray(u_ref)).max())
+
+
+def test_packed_gmres_parity():
+    from tpufem.solvers.constraints import Constraints
+    from tpufem.solvers.gmres import gmres
+    coords, conn = meshgen.box_tet(3, 3, 3)
+    N = coords.shape[0]
+    sys_, fixed = _packed_sys(coords, conn, etype="c3d4",
+                              precondition=False)
+    b = np.zeros((N, 3))
+    b[meshgen.boundary_nodes(coords, 2, 1.0), 2] = -1e3
+    u, info = sys_.solve_gmres(b, tol=1e-8, max_iter=2000, restart=40)
+    assert int(info.status) == 1
+    op_ref = _ref_op(coords, conn, "c3d4")
+    cons = Constraints.fixed(N, fixed, 3, dtype=np.float64)
+    u_ref, info_ref = gmres(op_ref, jnp.asarray(b), constraints=cons,
+                            tol=1e-8, max_iter=2000, restart=40)
+    assert int(info_ref.status) == 1
+    np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref), rtol=1e-5,
+                               atol=1e-7 * np.abs(np.asarray(u_ref)).max())
+
+
+def test_packed_modal_parity():
+    """Smallest modes through the packed operator match the [N, 3] modal
+    solver (same lumped mass, same constraints)."""
+    from tpufem.solvers import modal as modal_mod
+    from tpufem.solvers.constraints import Constraints
+    coords, conn = meshgen.box_tet(2, 2, 3)
+    N = coords.shape[0]
+    sys_, fixed = _packed_sys(coords, conn, etype="c3d4")
+    rho = 5.0
+    op_ref = _ref_op(coords, conn, "c3d4")
+    Mloc = solid.mass(jnp.asarray(coords), jnp.asarray(conn), "c3d4", rho)
+    Mdiag = modal_mod.lumped_mass_diagonal(Mloc, op_ref.plan)
+
+    lam, modes, _ = sys_.modal(np.asarray(Mdiag).reshape(N, 3), num_eigs=3,
+                               max_iter=12, inner_tol=1e-12,
+                               inner_max_iter=2000)
+    cons = Constraints.fixed(N, fixed, 3)
+    lam_ref, modes_ref, _ = modal_mod.modal_solver(
+        op_ref, Mdiag, (N, 3), num_eigs=3, constraints=cons, max_iter=12,
+        inner_tol=1e-12, inner_max_iter=2000)
+    np.testing.assert_allclose(np.sort(np.asarray(lam)),
+                               np.sort(np.asarray(lam_ref)), rtol=1e-6)
+    md = np.asarray(modes)                      # [N, 3, k]
+    np.testing.assert_allclose(md[fixed], 0.0, atol=1e-10)
+
+
+def test_packed_solve_chunked_matches_single():
+    """Chunked PCG (exact resume_state continuation) reaches the same
+    solution and iteration count as the single-while_loop solve."""
+    from tpufem.ops.packed import PackedSystem
+    coords, conn = meshgen.box_tet10(3, 3, 3)
+    N = coords.shape[0]
+    op = PackedPartialOperator.build(jnp.asarray(coords, jnp.float64), conn,
+                                     "c3d10", E, NU, n_nodes=N,
+                                     interpret=True)
+    fixed = meshgen.boundary_nodes(coords, 2, 0.0)
+    sys_ = PackedSystem(op, fixed_nodes=fixed)
+    b = np.zeros((N, 3))
+    b[meshgen.boundary_nodes(coords, 2, 1.0), 0] = 1e3
+    u1, i1 = sys_.solve(b, tol=1e-9, max_iter=3000)
+    u2, i2 = sys_.solve_chunked(b, tol=1e-9, max_iter=3000, every=50)
+    assert int(i1.status) == 1 and int(i2.status) == 1
+    # trajectories agree up to the per-chunk true-residual refresh
+    assert abs(int(i1.iterations) - int(i2.iterations)) <= 2
+    np.testing.assert_allclose(np.asarray(u2), np.asarray(u1), rtol=1e-8,
+                               atol=1e-12 * np.abs(np.asarray(u1)).max())
+    h = np.asarray(i2.history)
+    assert h.size == int(i2.iterations) + 1 and np.isfinite(h).all()

@@ -278,3 +278,69 @@ def test_static_driver_dot_dtype(tet_fixture):
         dtype=np.float32, dot_dtype=jnp.float64)
     np.testing.assert_allclose(np.asarray(u)[:, :3], u_ref, rtol=2e-3,
                                atol=2e-5 * np.abs(u_ref).max())
+
+
+def test_static_driver_packed_mixed_config3():
+    """BASELINE config 3 on the flagship path: tets + wedges + quad shells
+    in ONE assembly through operator='packed' (largest solid block rides
+    the packed operator, ops.packed_mixed) must match the assembled
+    ScatterPlan-operator solution (reference static_structure_solver,
+    solver/solver.py:11-135)."""
+    n = 2
+    coords, tets_all = meshgen.box_tet(n, n, n)
+    coords_w, wedges_all = meshgen.box_wedge(n, n, n)
+    np.testing.assert_allclose(coords_w, coords)   # same structured grid
+    cent_t = coords[tets_all].mean(axis=1)[:, 2]
+    cent_w = coords[wedges_all].mean(axis=1)[:, 2]
+    tets = tets_all[cent_t < 0.5]                  # lower half: tets
+    wedges = wedges_all[cent_w > 0.5]              # upper half: wedges
+    top = meshgen.boundary_nodes(coords, 2, 1.0)
+    top_sorted = top[np.lexsort((coords[top, 1], coords[top, 0]))]
+    grid = top_sorted.reshape(n + 1, n + 1)
+    quads = np.asarray([[grid[i, j], grid[i + 1, j], grid[i + 1, j + 1],
+                         grid[i, j + 1]]
+                        for i in range(n) for j in range(n)], np.int32)
+    N = coords.shape[0]
+    fixed = meshgen.boundary_nodes(coords, 2, 0.0)
+    force = np.zeros((N, 6))
+    force[top, 0] = 0.01
+    force[top, 2] = -0.02
+    kw = dict(material=MAT, tol=1e-11, max_iter=6000, precondition=True)
+    u_ref, info_ref = static_structure_solver(
+        coords, force, fixed, c3d4=tets, c3d6=wedges, s4=quads, **kw)
+    assert int(info_ref.status) == cgmod.CONVERGED
+    u, info = static_structure_solver(
+        coords, force, fixed, c3d4=tets, c3d6=wedges, s4=quads,
+        operator="packed", **kw)
+    assert int(info.status) == cgmod.CONVERGED
+    u, u_ref = np.asarray(u), np.asarray(u_ref)
+    assert np.abs(u[top, 0]).min() > 0
+    np.testing.assert_allclose(u, u_ref, rtol=2e-5,
+                               atol=1e-7 * np.abs(u_ref).max())
+
+
+def test_static_driver_packed_multi_solid():
+    """Two solid blocks, no shells: packed path sums the secondary block
+    through the [N, 3] bridge; rotations stay exactly zero."""
+    n = 2
+    coords, tets_all = meshgen.box_tet(n, n, n)
+    _, wedges_all = meshgen.box_wedge(n, n, n)
+    cent_t = coords[tets_all].mean(axis=1)[:, 2]
+    cent_w = coords[wedges_all].mean(axis=1)[:, 2]
+    tets = tets_all[cent_t < 0.5]
+    wedges = wedges_all[cent_w > 0.5]
+    N = coords.shape[0]
+    top = meshgen.boundary_nodes(coords, 2, 1.0)
+    fixed = meshgen.boundary_nodes(coords, 2, 0.0)
+    force = np.zeros((N, 6))
+    force[top, 2] = -1.0
+    kw = dict(material=MAT, tol=1e-11, max_iter=6000, precondition=True)
+    u_ref, _ = static_structure_solver(coords, force, fixed, c3d4=tets,
+                                       c3d6=wedges, **kw)
+    u, info = static_structure_solver(coords, force, fixed, c3d4=tets,
+                                      c3d6=wedges, operator="packed", **kw)
+    assert int(info.status) == cgmod.CONVERGED
+    u, u_ref = np.asarray(u), np.asarray(u_ref)
+    np.testing.assert_allclose(u[:, 3:], 0.0, atol=1e-14)
+    np.testing.assert_allclose(u, u_ref, rtol=2e-5,
+                               atol=1e-7 * np.abs(u_ref).max())

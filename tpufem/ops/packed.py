@@ -825,7 +825,7 @@ class PackedPartialOperator:
               n_nodes: Optional[int] = None, rule: str = "default",
               plan: Optional[PackedPlan] = None, affine: Optional[bool] = None,
               dtype=None, elems_per_cluster: int = 32,
-              interpret: bool = False,
+              interpret: Optional[bool] = None,
               chunk_budget_bytes: int = 1 << 30,
               window_buckets: int = 8,
               fuse: Optional[str] = None,
@@ -851,6 +851,8 @@ class PackedPartialOperator:
         m = plan.meta
         table = element_table(etype, rule)
         dtype = dtype or jax.dtypes.canonicalize_dtype(coords.dtype)
+        if interpret is None:       # Pallas kernels interpret off-TPU
+            interpret = jax.default_backend() != "tpu"
         B, E_c = m.n_clusters, m.elems_per_cluster
         if fuse is None:
             # measured on v5e (scripts/probe_fused.py / probe_scale_fused):
@@ -1239,26 +1241,33 @@ class PackedConstraints:
                                       metadata=dict(static=True))
 
     @staticmethod
-    def build(cons, plan: PackedPlan, dtype=np.float32
+    def build(cons, plan: PackedPlan, dtype=np.float32, comp: int = 0
               ) -> "PackedConstraints":
-        """From a solvers.constraints.Constraints (3- or 6-DOF tables;
-        rotational DOFs are dropped — the packed operator is solid-only,
-        matching the reference where solids only carry u[:, :3])."""
+        """From a solvers.constraints.Constraints (3- or 6-DOF tables).
+
+        comp selects the 3-component window [comp, comp+3) of the nodal
+        DOFs this packed plane carries: 0 = translations (the solid-only
+        default, matching the reference where solids only carry u[:, :3])
+        or 3 = rotations (the second plane of the mixed solid+shell
+        system, ops.packed_mixed).  RBE2/RBE3 couplings are always
+        component-wise in the reference schema (solver/solver.py:437-476,
+        603-651), so each plane carries exactly its own rows."""
         m = plan.meta
         nd = cons.meta.dof_per_node
         new_from_old = np.asarray(plan.new_from_old).astype(np.int64)
 
         def pidx(dofs):
             dofs = np.asarray(dofs, np.int64)
-            node, d = dofs // nd, dofs % nd
+            node, d = dofs // nd, dofs % nd - comp
             nn = new_from_old[node]
             return ((nn // BLK) * ROW + d * BLK + nn % BLK).astype(np.int32)
 
         def keep(dofs):
-            return np.asarray(dofs, np.int64) % nd < 3
+            d = np.asarray(dofs, np.int64) % nd
+            return (d >= comp) & (d < comp + 3)
 
-        mask_n = np.asarray(cons.mask2d)[:, :3].astype(dtype)
-        spc_n = np.asarray(cons.spc_const2d)[:, :3].astype(dtype)
+        mask_n = np.asarray(cons.mask2d)[:, comp:comp + 3].astype(dtype)
+        spc_n = np.asarray(cons.spc_const2d)[:, comp:comp + 3].astype(dtype)
 
         r2s = np.asarray(cons.rbe2_slave_dofs, np.int64)
         r2m = np.asarray(cons.rbe2_master_dofs, np.int64)
@@ -1321,6 +1330,12 @@ class PackedConstraints:
 
     def project_residual(self, r):
         return r * self.mask.astype(r.dtype)
+
+    @property
+    def free_mask(self):
+        """Flat [Nb*384] 1.0/0.0 free-DOF mask (modal-solver interface;
+        padding lanes are constrained by construction)."""
+        return self.mask.reshape(-1)
 
 
 # ---------------------------------------------------------------------------
@@ -1408,3 +1423,128 @@ class PackedSystem:
         key = self._jitted(tol, max_iter, dot_dtype)
         uX, info = self._solve[key](*self._args(b, x0))
         return self.op.plan.unpack(uX), info
+
+    def _chunk_jit(self, tol, every, dot_dtype):
+        from ..solvers.cg import cg
+
+        key = ("chunk", float(tol), int(every), str(dot_dtype))
+        if key not in self._solve:
+            def run(op, bX, x0X, pc, minv, pX, rz):
+                return cg(op, pc.project_residual(bX), constraints=pc,
+                          M_inv=minv, x0=x0X, tol=tol, max_iter=every,
+                          dot_dtype=dot_dtype, resume_state=(pX, rz),
+                          return_state=True)
+            self._solve[key] = jax.jit(run)
+        return key
+
+    def warm_chunked(self, b, tol: float = 1e-8, every: int = 500,
+                     dot_dtype=None) -> None:
+        """AOT-compile the chunked-solve program (see solve_chunked)."""
+        key = self._chunk_jit(tol, every, dot_dtype)
+        f = self._solve[key]
+        if hasattr(f, "lower"):
+            args = self._args(b, None)
+            self._solve[key] = f.lower(
+                *args, jnp.zeros_like(args[1]),
+                jnp.asarray(1.0, args[1].dtype)).compile()
+
+    def solve_chunked(self, b, x0=None, tol: float = 1e-8,
+                      max_iter: int = 20000, every: int = 500,
+                      dot_dtype=None):
+        """PCG as a sequence of `every`-iteration device programs with
+        EXACT recurrence continuation (cg resume_state) — identical
+        trajectory to one while_loop, but no single XLA execution runs
+        longer than `every` iterations.  Needed at north-star scale: one
+        uninterrupted ~15-minute execution crashed the TPU worker; this
+        also gives between-chunk convergence telemetry for multi-minute
+        solves.  Returns (u [N, 3], SolveInfo) with the concatenated
+        residual history and total iteration count."""
+        from ..solvers.cg import CONVERGED, MAX_ITER, RUNNING, SolveInfo
+
+        key = self._chunk_jit(tol, every, dot_dtype)
+        op, bX, x0X, pc, minv = self._args(b, x0)
+        pX = jnp.zeros_like(bX)           # rz_prev <= 0 -> fresh start
+        rz = jnp.asarray(-1.0, bX.dtype)  # (p0 = z0); chunks then carry p
+        hists = []
+        done = 0
+        info = None
+        while done < max_iter:
+            uX, info, (pX, rz) = self._solve[key](
+                op, bX, x0X, pc, minv, pX, rz)
+            it = int(info.iterations)         # host sync once per chunk
+            h = np.asarray(info.history)[:it + 1]
+            hists.append(h if not hists else h[1:])
+            done += it
+            x0X = uX
+            if int(info.status) != MAX_ITER or it == 0:
+                break
+        status = jnp.where(jnp.equal(info.status, RUNNING), MAX_ITER,
+                           info.status)
+        out = SolveInfo(status, jnp.asarray(done), info.residual_norm,
+                        np.concatenate(hists) if hists else
+                        np.asarray(info.history))
+        return self.op.plan.unpack(uX), out
+
+    # -- the rest of the solver family on the flagship operator ---------
+    # (reference exposes BiCGStab/GMRES/modal only on the slow pipeline,
+    # solver/solver.py:840-904, 911-969, 1084-1311; here every solver
+    # consumes the same packed operator + packed constraint projection)
+    def solve_bicgstab(self, b, x0=None, tol: float = 1e-8,
+                       max_iter: int = 1000):
+        """BiCGStab in the packed layout; tol is RELATIVE to ||r0||."""
+        from ..solvers.bicgstab import bicgstab
+
+        key = ("bicgstab", float(tol), int(max_iter))
+        if key not in self._solve:
+            def run(op, bX, x0X, pc, _minv):
+                return bicgstab(op, pc.project_residual(bX), constraints=pc,
+                                x0=x0X, tol=tol, max_iter=max_iter)
+            self._solve[key] = jax.jit(run)
+        uX, info = self._solve[key](*self._args(b, x0))
+        return self.op.plan.unpack(uX), info
+
+    def solve_gmres(self, b, x0=None, tol: float = 1e-8,
+                    max_iter: int = 1000, restart: int = 50):
+        """Restarted GMRES in the packed layout (left-Jacobi when the
+        system was built with a diagonal preconditioner)."""
+        from ..solvers.gmres import gmres
+
+        key = ("gmres", float(tol), int(max_iter), int(restart))
+        if key not in self._solve:
+            def run(op, bX, x0X, pc, minv):
+                return gmres(op, pc.project_residual(bX), constraints=pc,
+                             M_inv=(minv if not callable(self.M_inv)
+                                    and self.M_inv is not None else None),
+                             x0=x0X, tol=tol, max_iter=max_iter,
+                             restart=restart)
+            self._solve[key] = jax.jit(run)
+        uX, info = self._solve[key](*self._args(b, x0))
+        return self.op.plan.unpack(uX), info
+
+    def mass_packed(self, mass_nodal, clamp: float = 1e-12):
+        """Nodal lumped mass [N] or [N, 3] -> packed flat [Nb*384]
+        diagonal (padding lanes clamped positive; they carry no modes —
+        the constraint mask zeroes them)."""
+        Mn = np.asarray(mass_nodal)
+        if Mn.ndim == 1:
+            Mn = np.repeat(Mn[:, None], 3, axis=1)
+        X = self.op.plan.pack_np(Mn.astype(np.dtype(
+            jax.dtypes.canonicalize_dtype(self.mask.dtype))))
+        return jnp.asarray(np.maximum(X, clamp).reshape(-1))
+
+    def modal(self, mass_nodal, num_eigs: int = 5, **kw):
+        """Smallest modes of K phi = lambda M phi through the packed
+        operator (inverse subspace iteration; solvers.modal).  Returns
+        (eigenvalues [k], modes [N, 3, k], ModalInfo)."""
+        from ..solvers.modal import modal_solver
+
+        plan = self.op.plan
+        Md = self.mass_packed(mass_nodal)
+        nb = plan.meta.n_blocks
+        lam, modes, info = modal_solver(
+            self.op, Md, (nb, ROW), num_eigs, constraints=self.pc,
+            precondition=self.M_inv if not callable(self.M_inv) else None,
+            **kw)
+        out = jnp.stack([plan.unpack(modes[:, j].reshape(nb, ROW))
+                         for j in range(num_eigs)], axis=-1)
+        return lam, out, info

@@ -42,7 +42,8 @@ def _noop_state(u):
 
 def cg(A: Callable, b, *, constraints: Optional[Constraints] = None,
        M_inv=None, x0=None, tol: float = 1e-10, max_iter: int = 1000,
-       eps: float = 1e-30, record_history: bool = True, dot_dtype=None):
+       eps: float = 1e-30, record_history: bool = True, dot_dtype=None,
+       resume_state=None, return_state: bool = False):
     """(P)CG on A u = b with constraint projection inside the loop.
 
     Args:
@@ -82,8 +83,21 @@ def cg(A: Callable, b, *, constraints: Optional[Constraints] = None,
     u0 = set_state(u0)
     r0 = project(b - A(u0))
     z0 = apply_M(r0) if apply_M is not None else r0
-    p0 = z0
     rz0 = vdot(r0, z0)
+    if resume_state is None:
+        p0 = z0
+    else:
+        # EXACT continuation of a previous cg call's recurrence: the loop
+        # body already computed the NEXT search direction before exiting,
+        # so p0 is the carried p verbatim (and r0/z0/rz0 above are its
+        # true-residual refresh) — identical trajectory to one
+        # uninterrupted while_loop up to that refresh.  Lets multi-
+        # thousand-iteration solves run as bounded-length device programs
+        # (a single ~15-minute XLA execution crashed the TPU worker at
+        # 5.14M elements).  rz_prev <= 0 signals a FRESH start (p0 = z0)
+        # so one compiled program serves both cases.
+        p_prev, rz_prev = resume_state
+        p0 = jnp.where(rz_prev > 0, project(p_prev.astype(dtype)), z0)
 
     hist_len = max_iter + 1 if record_history else 1
     hist0 = jnp.full((hist_len,), jnp.inf, dtype=dtype)
@@ -132,7 +146,10 @@ def cg(A: Callable, b, *, constraints: Optional[Constraints] = None,
     i, u, r, p, rz, status, hist = jax.lax.while_loop(cond, body, init)
     status = jnp.where(status == RUNNING, MAX_ITER, status)
     rnorm = jnp.sqrt(vdot(r, r).real)
-    return u, SolveInfo(status, i, rnorm, hist)
+    info = SolveInfo(status, i, rnorm, hist)
+    if return_state:
+        return u, info, (p, rz)
+    return u, info
 
 
 def masked_cg(A: Callable, b, mask, **kw):

@@ -128,25 +128,36 @@ def static_structure_solver(coords, force, fixed=None, *, material: dict,
     if operator == "packed":
         # flagship path: the packed-layout geometry-factor operator with
         # full SPC/RBE2/RBE3 support (ops.packed.PackedConstraints)
-        ets = list(blocks)
-        if len(ets) != 1 or ets[0].lower() not in SOLID_TYPES:
-            raise ValueError("operator='packed' supports exactly one solid "
-                             f"element block, got {ets}")
-        from ..ops.packed import PackedPartialOperator, PackedSystem
-        et = ets[0].lower()
-        op = PackedPartialOperator.build(
-            jnp.asarray(coords, force_np_dtype), np.asarray(blocks[ets[0]]),
-            et, material["E"], material["nu"], n_nodes=N,
-            dtype=force_np_dtype)
-        system = PackedSystem(
-            op, constraints=constraints,
-            precondition=(precondition if isinstance(precondition, str)
-                          else ("jacobi" if precondition else None)))
-        b3 = np.asarray(force)[:, :3]
-        x03 = np.asarray(u_init)[:, :3] if u_init is not None else None
-        u3, info = system.solve(b3, x0=x03, tol=tol, max_iter=max_iter,
-                                dot_dtype=dot_dtype)
-        u6 = jnp.zeros((N, 6), u3.dtype).at[:, :3].set(u3)
+        ets = [et.lower() for et in blocks]
+        if not any(et in SOLID_TYPES for et in ets):
+            raise ValueError("operator='packed' needs >= 1 solid element "
+                             f"block, got {ets}")
+        if len(ets) == 1 and ets[0] in SOLID_TYPES:
+            from ..ops.packed import PackedPartialOperator, PackedSystem
+            et = ets[0]
+            op = PackedPartialOperator.build(
+                jnp.asarray(coords, force_np_dtype),
+                np.asarray(next(iter(blocks.values()))),
+                et, material["E"], material["nu"], n_nodes=N,
+                dtype=force_np_dtype)
+            system = PackedSystem(
+                op, constraints=constraints,
+                precondition=(precondition if isinstance(precondition, str)
+                              else ("jacobi" if precondition else None)))
+            b3 = np.asarray(force)[:, :3]
+            x03 = np.asarray(u_init)[:, :3] if u_init is not None else None
+            u3, info = system.solve(b3, x0=x03, tol=tol, max_iter=max_iter,
+                                    dot_dtype=dot_dtype)
+            u6 = jnp.zeros((N, 6), u3.dtype).at[:, :3].set(u3)
+            return u6, info
+        # mixed solids (+shells): largest solid block rides the packed
+        # operator, the rest bridge through [N, 3]/[N, 6] per apply
+        from ..ops.packed_mixed import PackedMixedSystem
+        system = PackedMixedSystem(
+            coords, blocks, material, n_nodes=N, constraints=constraints,
+            precondition=bool(precondition), dtype=force_np_dtype)
+        u6, info = system.solve(np.asarray(force), x0=u_init, tol=tol,
+                                max_iter=max_iter, dot_dtype=dot_dtype)
         return u6, info
     # Host-side once: scatter plans (numpy sorts).
     plans = {et: ScatterPlan.build(np.asarray(conn), N,
