@@ -78,7 +78,11 @@ def main():
     print(f"warmup (transfer+compile): {time.time() - t0:.1f}s", flush=True)
 
     t0 = time.time()
-    u, info = sys_.solve_chunked(b, tol=tol, max_iter=max_iter, every=every)
+    u, info = sys_.solve_chunked(
+        b, tol=tol, max_iter=max_iter, every=every,
+        progress=lambda it, rn: print(
+            f"  iter {it}: ||r|| {rn:.4e} (rel {rn / bnorm:.2e}) "
+            f"[{time.time() - t0:.0f}s]", flush=True))
     rnorm = float(info.residual_norm)       # forces completion
     t_solve = time.time() - t0
     iters = int(info.iterations)

@@ -181,3 +181,61 @@ def test_hybrid_matrix_free_interface_matches():
     assert int(i1.status) == 1 and int(i2.status) == 1
     np.testing.assert_allclose(np.asarray(u2), np.asarray(u1), rtol=1e-5,
                                atol=1e-7 * np.abs(np.asarray(u1)).max())
+
+
+def test_hybrid_interior_inverse_f32_accuracy():
+    """ADVICE r4: interior_inverse replaces backward-stable triangular
+    solves with GEMV against explicit K_II^-1 in the SOLUTION path, and
+    the flagship 1M config runs it in f32 — measure the forward error at
+    a refined mesh instead of assuming it.  Accuracy bar: the f32
+    interior-inverse solution must sit within the storage-precision
+    envelope (~kappa * eps_f32) of the f64 direct solution, and its TRUE
+    residual through an independently assembled operator must be small."""
+    import jax.numpy as jnp
+    coords, conn = meshgen.box_tet(6, 6, 12, 1.0, 1.0, 2.0)
+    N = coords.shape[0]
+    fixed = meshgen.boundary_nodes(coords, 2, 0.0)
+    b = np.zeros((N, 3), np.float32)
+    b[meshgen.boundary_nodes(coords, 2, 2.0), 0] = 1e3
+    b[np.asarray(fixed)] = 0.0
+    s = build_hybrid(coords, conn, "c3d4", 200e9, 0.3, 8,
+                     fixed_nodes=fixed, seed=0, precondition="bdd",
+                     interior_inverse=True, slim=True, dtype=np.float32)
+    u, info = s.solve(jnp.asarray(b), tol=1e-4 * np.linalg.norm(b),
+                      max_iter=400)
+    assert int(info.status) == 1
+    u = np.asarray(u, np.float64)
+    # f64 ground truth through the same (f64) stiffness
+    u_ref = _direct_scaled(coords, conn, fixed, b.astype(np.float64))
+    rel = (np.abs(u - u_ref).max() / np.abs(u_ref).max())
+    # independent true residual (f64 assembled operator)
+    K = np.asarray(solid.stiffness(jnp.asarray(coords), jnp.asarray(conn),
+                                   "c3d4", 200e9, 0.3))
+    dofs = element_dofs(conn, 3)
+    d = dofs.shape[1]
+    rows = np.repeat(dofs, d, axis=1).ravel()
+    cols = np.tile(dofs, (1, d)).ravel()
+    A = sp.coo_matrix((K.ravel(), (rows, cols)), shape=(N * 3, N * 3)).tocsr()
+    mask = np.ones(N * 3, bool)
+    mask[(np.asarray(fixed)[:, None] * 3 + np.arange(3)).ravel()] = False
+    r = b.reshape(-1)[mask] - (A[mask][:, mask] @ u.reshape(-1)[mask])
+    rres = np.linalg.norm(r) / np.linalg.norm(b)
+    print(f"f32 interior-inverse: rel err {rel:.2e}, true res {rres:.2e}")
+    assert rel < 5e-3, rel       # storage-precision envelope
+    assert rres < 5e-3, rres
+
+
+def _direct_scaled(coords, conn, fixed, b):
+    N = coords.shape[0]
+    K = np.asarray(solid.stiffness(jnp.asarray(coords), jnp.asarray(conn),
+                                   "c3d4", 200e9, 0.3))
+    dofs = element_dofs(conn, 3)
+    d = dofs.shape[1]
+    rows = np.repeat(dofs, d, axis=1).ravel()
+    cols = np.tile(dofs, (1, d)).ravel()
+    A = sp.coo_matrix((K.ravel(), (rows, cols)), shape=(N * 3, N * 3)).tocsr()
+    mask = np.ones(N * 3, bool)
+    mask[(np.asarray(fixed)[:, None] * 3 + np.arange(3)).ravel()] = False
+    u = np.zeros(N * 3)
+    u[mask] = spla.spsolve(A[mask][:, mask].tocsc(), b.reshape(-1)[mask])
+    return u.reshape(N, 3)

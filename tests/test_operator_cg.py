@@ -207,3 +207,52 @@ def test_packed_and_chunked_scatter_match_sorted(monkeypatch):
         y = np.asarray(p.scatter(Fe))
         np.testing.assert_allclose(y, ref, rtol=1e-12)
         assert np.array_equal(y, np.asarray(p.scatter(Fe)))  # deterministic
+
+
+def test_comp_vdot_accuracy():
+    """Double-f32 compensated dot: f64-quality on cancellation-heavy data
+    where plain f32 summation loses everything."""
+    import jax
+    import jax.numpy as jnp
+    from tpufem.solvers.cg import comp_vdot
+    rng = np.random.default_rng(1)
+    n = 1 << 20
+    big = rng.standard_normal(n // 2).astype(np.float32) * 1e7
+    a = np.concatenate([big, -big]).astype(np.float32)
+    a += rng.standard_normal(n).astype(np.float32)
+    c = np.ones(n, np.float32)
+    ref = float(np.sum(a.astype(np.float64)))
+    comp = float(jax.jit(comp_vdot)(jnp.asarray(a, jnp.float32),
+                                    jnp.asarray(c, jnp.float32)))
+    plain = float(jnp.sum(jnp.asarray(a, jnp.float32)))
+    assert abs(plain - ref) / abs(ref) > 1e-2      # plain f32 fails here
+    assert abs(comp - ref) / abs(ref) < 1e-6
+
+
+def test_cg_compensated_dots_match_f64():
+    """cg(dot_dtype='compensated') follows the f64-dot trajectory in f32
+    storage (the TPU wide-scalar policy where x64 cannot reach Mosaic)."""
+    import jax.numpy as jnp
+    from tpufem.elements import solid
+    from tpufem.ops.operator import MatrixFreeOperator
+    from tpufem.ops.scatter import ScatterPlan
+    from tpufem.solvers.cg import cg
+    from tpufem.solvers.constraints import Constraints
+    from tpufem.utils import meshgen
+    coords, conn = meshgen.box_tet(3, 3, 6, 1.0, 1.0, 2.0)
+    N = coords.shape[0]
+    K = solid.stiffness(jnp.asarray(coords, jnp.float32),
+                        jnp.asarray(conn), "c3d4", 200e9, 0.3)
+    op = MatrixFreeOperator(K=K, plan=ScatterPlan.build(conn, N, 3))
+    fixed = meshgen.boundary_nodes(coords, 2, 0.0)
+    cons = Constraints.fixed(N, fixed, 3, dtype=np.float32)
+    b = np.zeros((N, 3), np.float32)
+    b[meshgen.boundary_nodes(coords, 2, 2.0), 0] = 1e3
+    u1, i1 = cg(op, jnp.asarray(b), constraints=cons, tol=1e-3,
+                max_iter=2000, dot_dtype=jnp.float64)
+    u2, i2 = cg(op, jnp.asarray(b), constraints=cons, tol=1e-3,
+                max_iter=2000, dot_dtype="compensated")
+    assert int(i1.status) == 1 and int(i2.status) == 1
+    assert abs(int(i1.iterations) - int(i2.iterations)) <= 5
+    np.testing.assert_allclose(np.asarray(u2), np.asarray(u1), rtol=2e-3,
+                               atol=1e-5 * np.abs(np.asarray(u1)).max())

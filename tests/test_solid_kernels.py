@@ -200,17 +200,23 @@ def test_stiffness_isotropic_closed_form(etype, mesh):
                                atol=1e-13 * np.abs(K_ref).max())
 
 
-def test_stiffness_fused_pallas_matches():
-    """Fused Pallas stiffness kernel == the einsum pipeline (c3d4 here —
-    interpret-mode cost; c3d10/c3d8 are validated compiled on TPU by
+@pytest.mark.parametrize("etype,mesh", [
+    ("c3d4", lambda: meshgen.box_tet(3, 3, 3)),
+    ("c3d10", lambda: meshgen.box_tet10(2, 2, 2)),
+    ("c3d8", lambda: meshgen.box_hex(3, 3, 3)),
+    ("c3d6", lambda: meshgen.box_wedge(3, 3, 3)),
+])
+def test_stiffness_fused_pallas_matches(etype, mesh):
+    """Fused Pallas stiffness kernel == the einsum pipeline (interpret
+    mode on curved meshes; compiled-on-TPU timing lives in
     scripts/bench_stiffness.py)."""
     from tpufem.ops.stiffness_kernels import stiffness_fused
-    coords, conn = meshgen.box_tet(3, 3, 3)
+    coords, conn = mesh()
     c = coords.copy()
     c[:, 0] += 0.04 * np.sin(2.0 * c[:, 1]) * c[:, 2]
-    K_f = np.asarray(stiffness_fused(jnp.asarray(c), conn, "c3d4", E, NU,
+    K_f = np.asarray(stiffness_fused(jnp.asarray(c), conn, etype, E, NU,
                                      interpret=True))
     K_r = np.asarray(solid.stiffness(jnp.asarray(c), jnp.asarray(conn),
-                                     "c3d4", E, NU))
-    np.testing.assert_allclose(K_f, K_r, rtol=5e-13,
-                               atol=1e-13 * np.abs(K_r).max())
+                                     etype, E, NU))
+    np.testing.assert_allclose(K_f, K_r, rtol=1e-11,
+                               atol=1e-12 * np.abs(K_r).max())

@@ -1450,7 +1450,7 @@ class PackedSystem:
 
     def solve_chunked(self, b, x0=None, tol: float = 1e-8,
                       max_iter: int = 20000, every: int = 500,
-                      dot_dtype=None):
+                      dot_dtype=None, progress=None):
         """PCG as a sequence of `every`-iteration device programs with
         EXACT recurrence continuation (cg resume_state) — identical
         trajectory to one while_loop, but no single XLA execution runs
@@ -1476,6 +1476,8 @@ class PackedSystem:
             hists.append(h if not hists else h[1:])
             done += it
             x0X = uX
+            if progress is not None:
+                progress(done, float(h[-1]) if h.size else float("nan"))
             if int(info.status) != MAX_ITER or it == 0:
                 break
         status = jnp.where(jnp.equal(info.status, RUNNING), MAX_ITER,

@@ -32,6 +32,54 @@ class SolveInfo(NamedTuple):
     history: jnp.ndarray         # [max_iter+1] ||r|| per iter (inf padded)
 
 
+def _two_sum(a, b):
+    """Error-free transform: a + b = s + err exactly (Knuth)."""
+    s = a + b
+    bb = s - a
+    err = (a - (s - bb)) + (b - bb)
+    return s, err
+
+
+def _two_prod(a, b):
+    """Error-free product via Dekker splitting (no FMA needed; valid in
+    round-to-nearest f32 for |x| < ~2^115/4097)."""
+    p = a * b
+    t = a * jnp.asarray(4097.0, a.dtype)
+    ah = t - (t - a)
+    al = a - ah
+    t = b * jnp.asarray(4097.0, b.dtype)
+    bh = t - (t - b)
+    bl = b - bh
+    err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, err
+
+
+def comp_vdot(a, c):
+    """Dot product with ~double-f32 accuracy entirely in f32 ops.
+
+    TPU wide-scalar policy (SURVEY hard part 4): x64 scalars cannot be
+    used on the TPU path because 64-bit types reach the Mosaic kernels
+    via the shared program.  This keeps every vector op in f32 and makes
+    ONLY the dot reductions accurate: Dekker twoProd for the products,
+    then a pairwise twoSum cascade carrying the rounding errors in a
+    low-order component.  Error ~ eps^2 * n * sum|terms| — f64-quality
+    for n up to ~10^10.  Cost ~2n extra VPU flops (HBM-bound dots are
+    unaffected)."""
+    hi, lo = _two_prod(a.reshape(-1), c.reshape(-1))
+    n = hi.shape[0]
+    while n > 1:
+        if n % 2:
+            hi = jnp.concatenate([hi, jnp.zeros((1,), hi.dtype)])
+            lo = jnp.concatenate([lo, jnp.zeros((1,), lo.dtype)])
+            n += 1
+        h = n // 2          # contiguous halves: layout-friendly pairing
+        s, e = _two_sum(hi[:h], hi[h:])
+        lo = lo[:h] + lo[h:] + e
+        hi = s
+        n = h
+    return (hi + lo)[0]
+
+
 def _noop_project(r):
     return r
 
@@ -67,10 +115,14 @@ def cg(A: Callable, b, *, constraints: Optional[Constraints] = None,
     set_state = constraints.apply_state if constraints else _noop_state
     ddt = dot_dtype or dtype
 
-    def vdot(a, c):
-        # jnp.sum over the native [N, nd] layout — jnp.vdot ravels, which
-        # relayouts [N, nd] tiles on TPU every iteration
-        return jnp.sum(a.astype(ddt) * c.astype(ddt)).astype(dtype)
+    if isinstance(ddt, str) and ddt in ("compensated", "kahan"):
+        def vdot(a, c):
+            return comp_vdot(a, c).astype(dtype)
+    else:
+        def vdot(a, c):
+            # jnp.sum over the native [N, nd] layout — jnp.vdot ravels,
+            # which relayouts [N, nd] tiles on TPU every iteration
+            return jnp.sum(a.astype(ddt) * c.astype(ddt)).astype(dtype)
 
     if M_inv is None:
         apply_M = None
