@@ -199,34 +199,12 @@ def _scale_block(ns: int, full: bool) -> dict:
         "plan_cached": plan_cached,
     }
 
-    # ---- the converged north-star solve (BASELINE.md acceptance bar) --
+    # ---- PCG throughput + the converged north-star solve --------------
     fixed = meshgen.boundary_nodes(sc, 2, 0.0)
-    top = meshgen.boundary_nodes(sc, 2, 1.0)
     sb_f = np.zeros((sN, 3), np.float32)
-    sb_f[top, 2] = -1e3
-    precond = os.environ.get("BENCH_SOLVE_PRECOND", "block")
-    tol_rel = float(os.environ.get("BENCH_SOLVE_TOL", "1e-6"))
-    max_iter = int(os.environ.get("BENCH_SOLVE_MAX_ITER", "20000"))
-    every = int(os.environ.get("BENCH_SOLVE_EVERY", "500"))
-    bnorm = float(np.linalg.norm(sb_f))
+    sb_f[meshgen.boundary_nodes(sc, 2, 1.0), 2] = -1e3
+    precond = os.environ.get("BENCH_SOLVE_PRECOND", "jacobi")
     ssys = PackedSystem(sop, fixed_nodes=fixed, precondition=precond)
-    # chunked: bounded-length device programs (a single multi-thousand-
-    # iteration execution crashed the TPU worker), exact continuation
-    ssys.warm_chunked(sb_f, tol=tol_rel * bnorm, every=every)
-    t0 = time.time()
-    su, sinfo = ssys.solve_chunked(sb_f, tol=tol_rel * bnorm,
-                                   max_iter=max_iter, every=every)
-    rnorm = float(sinfo.residual_norm)
-    t_solve = time.time() - t0
-    iters = int(sinfo.iterations)
-    out["solve_seconds"] = t_solve
-    out["iterations"] = iters
-    out["solve_iters_per_s"] = iters / t_solve if t_solve > 0 else None
-    out["rel_residual"] = rnorm / bnorm
-    out["converged"] = bool(rnorm <= tol_rel * bnorm)
-    out["solve_tol_rel"] = tol_rel
-    out["solve_precondition"] = precond
-    out["tip_uz_mean"] = float(jnp.mean(su[jnp.asarray(top), 2]))
 
     if full:
         def make_s_pcg(iters):
@@ -238,6 +216,39 @@ def _scale_block(ns: int, full: bool) -> dict:
 
         s_cg = _slope(make_s_pcg, ((),), lo=3, hi=13, reps=2)
         out["cg_iters_per_s"] = 1.0 / s_cg
+
+    # CONVERGED solve (BASELINE.md acceptance bar) in a SUBPROCESS:
+    # the refinement's f64 outer loop needs x64, which must not leak
+    # into this process's f32 throughput programs; isolation also
+    # keeps a worker hiccup in the long solve from killing the bench.
+    # Measured at 5.14M (PERFORMANCE.md round 5): plain f32 PCG breaks
+    # down at the ~2e-3 kappa*eps_f32 envelope, so the converged solve
+    # IS the mixed-precision refined solve with an f64 TRUE residual.
+    if os.environ.get("BENCH_SOLVE", "1") != "0":
+        import subprocess
+        tol_rel = os.environ.get("BENCH_SOLVE_TOL", "1e-6")
+        script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "scripts", "solve_scale.py")
+        try:
+            pr = subprocess.run(
+                [sys.executable, script, str(ns), precond, tol_rel],
+                capture_output=True, text=True,
+                timeout=int(os.environ.get("BENCH_SOLVE_TIMEOUT", "3600")))
+            line = [ln for ln in pr.stdout.splitlines()
+                    if ln.startswith("{")][-1]
+            sj = json.loads(line)
+            for key in ("solve_seconds", "iterations", "cycles",
+                        "rel_residual", "converged", "tip_uz_mean",
+                        "iters_per_s", "outer_history_rel"):
+                out[key] = sj.get(key)
+            out["solve_tol_rel"] = float(tol_rel)
+            out["solve_precondition"] = precond
+            out["solve_mode"] = "mixed-precision refinement (f64 true residual)"
+        except Exception as e:
+            print(f"bench: converged-solve subprocess failed ({e})",
+                  file=sys.stderr)
+            out["converged"] = False
+            out["solve_error"] = str(e)
     return out
 
 

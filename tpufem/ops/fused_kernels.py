@@ -42,7 +42,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .packed_kernels import _fit_tile, _lane_gather
+from .packed_kernels import _fit_tile, _lane_gather, _x32_call
 
 
 def _pa_planes(ue, Ji, Wq, dN, lam, mu):
@@ -256,7 +256,7 @@ def fused_yc(xw, wslot, jslot, lconn, cinc, jinv, w, dN, lam, mu, v_widths,
         _fused_kernel, TB=TB, Wn=Wn, Rp=Rp, k=k, E_c=E_c, q=q, qJ=qJ,
         v_widths=tuple(v_widths), lam=float(lam), mu=float(mu),
         dN=np.asarray(dN), mode=mode)
-    return pl.pallas_call(
+    return _x32_call(pl.pallas_call(
         kern,
         grid=(B // TB,),
         in_specs=[
@@ -281,4 +281,4 @@ def fused_yc(xw, wslot, jslot, lconn, cinc, jinv, w, dN, lam, mu, v_widths,
         scratch_shapes=[pltpu.VMEM((TB, 128), xw.dtype),
                         pltpu.VMEM((TB, 128), xw.dtype)],
         interpret=interpret,
-    )(xw, wslot, jslot, lconn, cinc, jinv, w)
+    ), xw, wslot, jslot, lconn, cinc, jinv, w)

@@ -38,9 +38,32 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _x32_call(f, *args):
+    """Invoke a pallas_call under enable_x64(False): with x64 on (the
+    mixed-precision refinement's f64 outer loop shares the process), the
+    kernel body, BlockSpec index maps, and internal loop carries would
+    otherwise trace 64-bit values, which Mosaic rejects ("failed to
+    legalize func.return (i32, i64, i64)").  The f64 INTERPRET-mode
+    operators (CPU test suite) must keep x64, so the context applies
+    only to 32-bit operands."""
+    if any(jnp.dtype(getattr(a, "dtype", jnp.int32)).itemsize == 8
+           for a in args):
+        return f(*args)
+    with jax.enable_x64(False):
+        return f(*args)
+
+
 def _lane_gather(src, idx):
-    """Exact per-row lane gather: out[r, l] = src[r, idx[r, l]] (2-D only)."""
-    return jnp.take_along_axis(src, idx, axis=1)
+    """Exact per-row lane gather: out[r, l] = src[r, idx[r, l]] (2-D only).
+
+    Traced under enable_x64(False) for 32-bit sources: with x64 on (the
+    mixed-precision refinement path runs an f64 outer loop in the same
+    program), take_along_axis promotes indices to int64, which Mosaic
+    rejects; f64 interpret-mode operators keep x64."""
+    if jnp.dtype(src.dtype).itemsize == 8:
+        return jnp.take_along_axis(src, idx, axis=1)
+    with jax.enable_x64(False):
+        return jnp.take_along_axis(src, idx, axis=1)
 
 
 def _fit_tile(tile: int, n_rows: int, row_bytes: int,
@@ -97,7 +120,7 @@ def expand(xw, wslot, jslot, lconn, *, tile: int = 64,
     itemsize = jnp.dtype(xw.dtype).itemsize
     TB = _fit_tile(tile, B, (Wn * 384 + 3 * Rp) * itemsize + 640 * 4)
     kern = functools.partial(_expand_kernel, TB=TB, Wn=Wn, Rp=Rp)
-    return pl.pallas_call(
+    return _x32_call(pl.pallas_call(
         kern,
         grid=(B // TB,),
         in_specs=[
@@ -114,7 +137,7 @@ def expand(xw, wslot, jslot, lconn, *, tile: int = 64,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 3, Rp), xw.dtype),
         interpret=interpret,
-    )(xw, wslot, jslot, lconn)
+    ), xw, wslot, jslot, lconn)
 
 
 # ---------------------------------------------------------------------------
@@ -166,7 +189,7 @@ def expand_planar(xw, wslot, jslot, lconn, k, E_c, *, tile: int = 64,
                    + (256 + Rp) * 4)
     kern = functools.partial(_expand_planar_kernel, TB=TB, Wn=Wn, k=k,
                              E_c=E_c)
-    return pl.pallas_call(
+    return _x32_call(pl.pallas_call(
         kern,
         grid=(B // TB,),
         in_specs=[
@@ -183,7 +206,7 @@ def expand_planar(xw, wslot, jslot, lconn, k, E_c, *, tile: int = 64,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, k, B, E_c), xw.dtype),
         interpret=interpret,
-    )(xw, wslot, jslot, lconn)
+    ), xw, wslot, jslot, lconn)
 
 
 def _compress_planar_kernel(fe_ref, cinc_ref, out_ref, *, TB: int, k: int,
@@ -230,7 +253,7 @@ def compress_planar(fe3, cinc, v_widths, *, tile: int = 64,
     kern = functools.partial(_compress_planar_kernel, TB=TB, k=k, E_c=E_c,
                              v_widths=tuple(v_widths))
     Vsum = cinc.shape[1]
-    return pl.pallas_call(
+    return _x32_call(pl.pallas_call(
         kern,
         grid=(B // TB,),
         in_specs=[
@@ -243,7 +266,7 @@ def compress_planar(fe3, cinc, v_widths, *, tile: int = 64,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 384), fe3.dtype),
         interpret=interpret,
-    )(fe3, cinc)
+    ), fe3, cinc)
 
 
 # ---------------------------------------------------------------------------
@@ -304,7 +327,7 @@ def compress_gather(fe, cinc, v_widths, *, tile: int = 64,
     kern = functools.partial(_compress_gather_kernel, TB=TB,
                              v_widths=tuple(v_widths))
     Vsum = cinc.shape[1]
-    return pl.pallas_call(
+    return _x32_call(pl.pallas_call(
         kern,
         grid=(B // TB,),
         in_specs=[
@@ -317,7 +340,7 @@ def compress_gather(fe, cinc, v_widths, *, tile: int = 64,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 384), fe.dtype),
         interpret=interpret,
-    )(fe, cinc)
+    ), fe, cinc)
 
 
 # ---------------------------------------------------------------------------
@@ -366,7 +389,7 @@ def combine(ycw, slotidx, wc=None, *, tile: int = 64,
     TJ = _fit_tile(tile, Nb, Wc * 384 * itemsize + Wp * 128 * 4
                    + 384 * itemsize)
     kern = functools.partial(_combine_kernel, TJ=TJ, Wc=int(wc))
-    return pl.pallas_call(
+    return _x32_call(pl.pallas_call(
         kern,
         grid=(Nb // TJ,),
         in_specs=[
@@ -379,4 +402,4 @@ def combine(ycw, slotidx, wc=None, *, tile: int = 64,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Nb, 384), ycw.dtype),
         interpret=interpret,
-    )(ycw, slotidx)
+    ), ycw, slotidx)

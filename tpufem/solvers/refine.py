@@ -1,0 +1,225 @@
+"""Mixed-precision iterative refinement: f64-verified converged solves.
+
+Measured at 5.14M elements (PERFORMANCE.md round-5): f32 Jacobi/block
+PCG converges to ~2e-3 relative residual — the kappa * eps_f32 storage
+envelope — and then BREAKS DOWN (the recursive residual diverges once
+the recurrence is noise-dominated).  A 1e-6 converged solve in f32
+storage is therefore impossible in a single Krylov run; the classical
+fix is iterative refinement:
+
+    u_64 = 0
+    repeat:  r_64 = P(b - A_64 u_64)         # f64 TRUE residual
+             solve A_32 d ~= r / ||r||       # f32 packed PCG, tol ~5e-3
+             u_64 += ||r|| * d
+until ||r_64|| <= tol * ||b||.  Each cycle contracts the true residual
+by roughly the inner tolerance, so ~3 cycles reach 1e-6 — and the
+reported residual is an f64 TRUE residual through an independent
+(non-Pallas) operator, a stronger claim than any recursive f32 history.
+
+The f64 matvec is a PLANAR partial-assembly apply written here: TPU f64
+is software-emulated with a [8 x bf16]-component representation whose
+(3, 3)-minor tiles pad 57x — one [M, q, 3, 3] einsum temporary at 1M
+elements asked for 32.7 GB.  The planar form keeps every intermediate a
+flat [Mc] vector (zero padding), loops the tiny (q, a, b, k) dims in
+Python, and scatter-adds per (node, component) stream.  Requires x64;
+the f32 packed kernels stay 32-bit via the enable_x64(False) contexts
+in ops/packed_kernels.py.
+
+Reference being surpassed: the reference runs all-f64 on GPU
+(solver/solver.py:11) and could not run >1M elements at all; this
+reaches f64-quality residuals with f32 speed and memory.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class RefineInfo(NamedTuple):
+    converged: bool
+    cycles: int
+    inner_iterations: int
+    residual_norm: float          # f64 true residual, absolute
+    rel_residual: float
+    outer_history: np.ndarray     # f64 true ||r|| per cycle
+
+
+class _PlanarF64Op:
+    """Chunked planar f64 matvec u[N,3] -> F[N,3] (geometry-factor)."""
+
+    def __init__(self, coords, conn, etype: str, E: float, nu: float,
+                 chunk_elems: int = 1_000_000):
+        from ..core.materials import lame_parameters
+        from ..elements.tables import element_table
+
+        table = element_table(etype, "default")
+        self.dN = tuple(tuple(tuple(float(x) for x in row)
+                              for row in plane)
+                        for plane in np.asarray(table.dN))
+        self.w = tuple(float(x) for x in np.asarray(table.weights))
+        lam, mu = lame_parameters(E, nu)
+        self.lam, self.mu = float(lam), float(mu)
+        conn = np.asarray(conn)
+        coords64 = np.asarray(coords, np.float64)
+        self.N = coords64.shape[0]
+        M, k = conn.shape
+        self.k = k
+        q = len(self.w)
+        # per-chunk planar geometry: Jinv [q][3][3] and W [q] flat [Mc]
+        # f64 device vectors, computed on host in f64 numpy (exact, no
+        # device temps at all) and shipped once
+        self.chunks = []
+        for c0 in range(0, M, chunk_elems):
+            cc = conn[c0:c0 + chunk_elems]
+            Mc = cc.shape[0]
+            Xk = coords64[cc]                       # [Mc, k, 3] host
+            dNa = np.asarray(table.dN, np.float64)  # [q, k, 3]
+            J = np.einsum("qka,mkb->mqab", dNa, Xk)
+            # explicit adjugate inverse: np.linalg.inv/det on [Mc*q]
+            # stacked 3x3s cost minutes at 5M elements (LAPACK per-batch
+            # overhead); the cofactor form is ~30 vector ops
+            c00 = J[..., 1, 1] * J[..., 2, 2] - J[..., 1, 2] * J[..., 2, 1]
+            c01 = J[..., 0, 2] * J[..., 2, 1] - J[..., 0, 1] * J[..., 2, 2]
+            c02 = J[..., 0, 1] * J[..., 1, 2] - J[..., 0, 2] * J[..., 1, 1]
+            c10 = J[..., 1, 2] * J[..., 2, 0] - J[..., 1, 0] * J[..., 2, 2]
+            c11 = J[..., 0, 0] * J[..., 2, 2] - J[..., 0, 2] * J[..., 2, 0]
+            c12 = J[..., 0, 2] * J[..., 1, 0] - J[..., 0, 0] * J[..., 1, 2]
+            c20 = J[..., 1, 0] * J[..., 2, 1] - J[..., 1, 1] * J[..., 2, 0]
+            c21 = J[..., 0, 1] * J[..., 2, 0] - J[..., 0, 0] * J[..., 2, 1]
+            c22 = J[..., 0, 0] * J[..., 1, 1] - J[..., 0, 1] * J[..., 1, 0]
+            det = (J[..., 0, 0] * c00 + J[..., 0, 1] * c10
+                   + J[..., 0, 2] * c20)
+            inv_det = 1.0 / det
+            Jinv = (np.stack([np.stack([c00, c01, c02], -1),
+                              np.stack([c10, c11, c12], -1),
+                              np.stack([c20, c21, c22], -1)], -2)
+                    * inv_det[..., None, None])     # [Mc, q, 3, 3]
+            W = np.asarray(self.w)[None, :] * det   # [Mc, q]
+            self.chunks.append((
+                jnp.asarray(cc.astype(np.int32)),
+                tuple(tuple(tuple(jnp.asarray(
+                    np.ascontiguousarray(Jinv[:, qi, i, j]))
+                    for j in range(3)) for i in range(3))
+                    for qi in range(q)),
+                tuple(jnp.asarray(np.ascontiguousarray(W[:, qi]))
+                      for qi in range(q)),
+            ))
+
+        ndof = self.N * 3
+        dN, wq, lam, mu = self.dN, self.w, self.lam, self.mu
+
+        @jax.jit
+        def chunk_force(u64, conn_c, Jinv, W):
+            qn, kn = len(dN), len(dN[0])
+            uf = u64.reshape(-1)
+            ue = [[uf[conn_c[:, kk] * 3 + b] for b in range(3)]
+                  for kk in range(kn)]
+            Fe = [[0.0] * 3 for _ in range(kn)]
+            for qi in range(qn):
+                Ji = Jinv[qi]
+                # Hhat[a][b] = sum_k dN[qi,k,a] ue[k][b]
+                Hh = [[None] * 3 for _ in range(3)]
+                for a in range(3):
+                    for b in range(3):
+                        s = None
+                        for kk in range(kn):
+                            c = dN[qi][kk][a]
+                            if c == 0.0:
+                                continue
+                            t = c * ue[kk][b]
+                            s = t if s is None else s + t
+                        Hh[a][b] = s if s is not None else 0.0
+                # H[i][b] = sum_j Jinv[i][j] Hhat[j][b]
+                H = [[sum(Ji[i][j] * Hh[j][b] for j in range(3))
+                      for b in range(3)] for i in range(3)]
+                # sig = 2 mu eps + lam tr(eps) I, eps = (H + H^T)/2
+                tr = H[0][0] + H[1][1] + H[2][2]
+                sig = [[mu * (H[i][b] + H[b][i])
+                        + (lam * tr if i == b else 0.0)
+                        for b in range(3)] for i in range(3)]
+                # T[j][b] = W sum_i Jinv[i][j] sig[i][b]
+                T = [[W[qi] * sum(Ji[i][j] * sig[i][b] for i in range(3))
+                      for b in range(3)] for j in range(3)]
+                for kk in range(kn):
+                    for b in range(3):
+                        s = Fe[kk][b]
+                        for j in range(3):
+                            c = dN[qi][kk][j]
+                            if c == 0.0:
+                                continue
+                            s = s + c * T[j][b]
+                        Fe[kk][b] = s
+            F = jnp.zeros((ndof,), u64.dtype)
+            for kk in range(kn):
+                base = conn_c[:, kk] * 3
+                for b in range(3):
+                    F = F.at[base + b].add(Fe[kk][b])
+            return F
+
+        self._chunk_force = chunk_force
+
+    def __call__(self, u64):
+        F = None
+        for conn_c, Jinv, W in self.chunks:
+            Fc = self._chunk_force(u64, conn_c, Jinv, W)
+            F = Fc if F is None else F + Fc
+        return F.reshape(self.N, 3)
+
+
+class RefinedSystem:
+    """PackedSystem (f32 inner solves) + planar-f64 true-residual loop."""
+
+    def __init__(self, system, coords, conn, etype: str, E: float,
+                 nu: float, chunk_elems: int = 1_000_000):
+        if not jax.config.jax_enable_x64:
+            raise RuntimeError(
+                "RefinedSystem needs x64 enabled for the f64 outer loop "
+                "(jax.config.update('jax_enable_x64', True) before "
+                "building any operators)")
+        self.system = system
+        self.op64 = _PlanarF64Op(coords, conn, etype, E, nu, chunk_elems)
+        plan = system.op.plan
+        self._mask64 = jnp.asarray(plan.unpack(system.pc.mask),
+                                   jnp.float64)
+
+    def _resid(self, u64, b64):
+        r = (b64 - self.op64(u64)) * self._mask64
+        return r, float(jnp.linalg.norm(r))
+
+    def solve(self, b, tol_rel: float = 1e-6, inner_tol: float = 5e-3,
+              inner_max_iter: int = 1500, every: int = 500,
+              max_cycles: int = 10, progress=None):
+        """b [N, 3] -> (u [N, 3] f64, RefineInfo)."""
+        b64 = jnp.asarray(np.asarray(b), jnp.float64) * self._mask64
+        bn = float(jnp.linalg.norm(b64))
+        u64 = jnp.zeros_like(b64)
+        hist = []
+        inner_total = 0
+        cycles = 0
+        for cycle in range(max_cycles):
+            r64, rn = self._resid(u64, b64)
+            hist.append(rn)
+            if progress is not None:
+                progress(cycle, inner_total, rn / bn)
+            if rn <= tol_rel * bn or rn == 0.0:
+                break
+            cycles = cycle + 1
+            # normalized correction solve: RHS r/||r|| has unit norm, so
+            # the inner (absolute) tolerance is the same python float in
+            # every cycle — one compiled program for the whole refinement
+            d, info = self.system.solve_chunked(
+                (r64 / rn).astype(jnp.float32), tol=inner_tol,
+                max_iter=inner_max_iter, every=every)
+            inner_total += int(info.iterations)
+            u64 = u64 + rn * jnp.asarray(d, jnp.float64)
+        else:
+            _, rn = self._resid(u64, b64)
+            hist.append(rn)
+        rn = hist[-1]
+        return u64, RefineInfo(bool(rn <= tol_rel * bn), cycles,
+                               inner_total, rn, rn / bn,
+                               np.asarray(hist))
