@@ -88,7 +88,7 @@ def main():
             f"  cycle {cy} (inner iters {it}): TRUE rel residual {rr:.3e} "
             f"[{time.time() - t0:.0f}s]", flush=True))
     t_solve = time.time() - t0
-    u_np = np.asarray(u[jnp.asarray(top), 2])
+    u_np = np.asarray(u[jnp.asarray(top) * 3 + 2])
     out = {
         "mesh": f"box_tet10({n})", "elements": M, "nodes": N,
         "precondition": precond, "tol_rel": tol_rel,

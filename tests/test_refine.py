@@ -26,7 +26,8 @@ def test_refined_solve_reaches_f64_tolerance():
     fixed = meshgen.boundary_nodes(coords, 2, 0.0)
     sys_ = PackedSystem(op, fixed_nodes=fixed, precondition="jacobi")
     ref = RefinedSystem(sys_, coords, conn, "c3d10", E, NU,
-                        chunk_elems=100)          # exercise chunking
+                        chunk_elems=100,          # exercise chunking
+                        geometry_dtype=jnp.float64)
     assert len(ref.op64.chunks) > 1
     b = np.zeros((N, 3), np.float32)
     b[meshgen.boundary_nodes(coords, 2, 1.0), 2] = -1e3
@@ -49,5 +50,6 @@ def test_refined_solve_reaches_f64_tolerance():
     u_ref[mask] = spla.spsolve(A[mask][:, mask].tocsc(),
                                np.asarray(b, np.float64).reshape(-1)[mask])
     u_ref = u_ref.reshape(N, 3)
-    np.testing.assert_allclose(np.asarray(u), u_ref, rtol=1e-6,
+    np.testing.assert_allclose(np.asarray(u).reshape(N, 3), u_ref,
+                               rtol=1e-6,
                                atol=1e-9 * np.abs(u_ref).max())

@@ -52,7 +52,7 @@ class _PlanarF64Op:
     """Chunked planar f64 matvec u[N,3] -> F[N,3] (geometry-factor)."""
 
     def __init__(self, coords, conn, etype: str, E: float, nu: float,
-                 chunk_elems: int = 1_000_000):
+                 chunk_elems: int = 1_000_000, geometry_dtype=jnp.float32):
         from ..core.materials import lame_parameters
         from ..elements.tables import element_table
 
@@ -99,13 +99,26 @@ class _PlanarF64Op:
                               np.stack([c20, c21, c22], -1)], -2)
                     * inv_det[..., None, None])     # [Mc, q, 3, 3]
             W = np.asarray(self.w)[None, :] * det   # [Mc, q]
+            # HBM frugality (a 5.14M f64 run OOM'd with full-q f64
+            # geometry resident): store Jinv for ONE quadrature point on
+            # affine meshes (J constant for straight-edged tets), and
+            # ship the planar geometry in f32 — the apply upcasts to f64
+            # per use, so the ARITHMETIC stays f64 and the operator is
+            # simply defined with f32-rounded geometry (a <= 1-ulp mesh
+            # perturbation, matching the f32 packed operator's own
+            # geometry precision).
+            spreadJ = (np.abs(Jinv - Jinv[:, :1]).max()
+                       / max(np.abs(Jinv).max(), 1e-300))
+            qJ = 1 if spreadJ < 1e-12 else q
             self.chunks.append((
                 jnp.asarray(cc.astype(np.int32)),
                 tuple(tuple(tuple(jnp.asarray(
-                    np.ascontiguousarray(Jinv[:, qi, i, j]))
+                    np.ascontiguousarray(Jinv[:, qi, i, j]),
+                    geometry_dtype)
                     for j in range(3)) for i in range(3))
-                    for qi in range(q)),
-                tuple(jnp.asarray(np.ascontiguousarray(W[:, qi]))
+                    for qi in range(qJ)),
+                tuple(jnp.asarray(np.ascontiguousarray(W[:, qi]),
+                                  geometry_dtype)
                       for qi in range(q)),
             ))
 
@@ -120,7 +133,9 @@ class _PlanarF64Op:
                   for kk in range(kn)]
             Fe = [[0.0] * 3 for _ in range(kn)]
             for qi in range(qn):
-                Ji = Jinv[qi]
+                Jq = Jinv[min(qi, len(Jinv) - 1)]     # affine: one slice
+                Ji = [[Jq[i][j].astype(u64.dtype) for j in range(3)]
+                      for i in range(3)]
                 # Hhat[a][b] = sum_k dN[qi,k,a] ue[k][b]
                 Hh = [[None] * 3 for _ in range(3)]
                 for a in range(3):
@@ -142,7 +157,8 @@ class _PlanarF64Op:
                         + (lam * tr if i == b else 0.0)
                         for b in range(3)] for i in range(3)]
                 # T[j][b] = W sum_i Jinv[i][j] sig[i][b]
-                T = [[W[qi] * sum(Ji[i][j] * sig[i][b] for i in range(3))
+                Wq = W[qi].astype(u64.dtype)
+                T = [[Wq * sum(Ji[i][j] * sig[i][b] for i in range(3))
                       for b in range(3)] for j in range(3)]
                 for kk in range(kn):
                     for b in range(3):
@@ -162,64 +178,77 @@ class _PlanarF64Op:
 
         self._chunk_force = chunk_force
 
-    def __call__(self, u64):
+    def __call__(self, u64f):
+        """Flat [N*3] f64 field -> flat [N*3] f64 forces."""
         F = None
         for conn_c, Jinv, W in self.chunks:
-            Fc = self._chunk_force(u64, conn_c, Jinv, W)
+            Fc = self._chunk_force(u64f, conn_c, Jinv, W)
             F = Fc if F is None else F + Fc
-        return F.reshape(self.N, 3)
+        return F
 
 
 class RefinedSystem:
-    """PackedSystem (f32 inner solves) + planar-f64 true-residual loop."""
+    """PackedSystem (f32 inner solves) + planar-f64 true-residual loop.
+
+    EVERY wide-dtype field here is FLAT [N*3]: a [N, 3] f64-emulated
+    array pads its 3-lane minor dim to 128 — 14 GB for ONE field at 7M
+    nodes (the first 5.14M attempt OOM'd on exactly this).  The inner
+    solves exchange PACKED [Nb, 384] f32 tiles directly
+    (PackedPlan.pack_flat / solve_chunked_packed)."""
 
     def __init__(self, system, coords, conn, etype: str, E: float,
-                 nu: float, chunk_elems: int = 1_000_000):
+                 nu: float, chunk_elems: int = 1_000_000,
+                 geometry_dtype=jnp.float32):
         if not jax.config.jax_enable_x64:
             raise RuntimeError(
                 "RefinedSystem needs x64 enabled for the f64 outer loop "
                 "(jax.config.update('jax_enable_x64', True) before "
                 "building any operators)")
         self.system = system
-        self.op64 = _PlanarF64Op(coords, conn, etype, E, nu, chunk_elems)
+        self.op64 = _PlanarF64Op(coords, conn, etype, E, nu,
+                                 chunk_elems, geometry_dtype)
         plan = system.op.plan
-        self._mask64 = jnp.asarray(plan.unpack(system.pc.mask),
-                                   jnp.float64)
+        self.plan = plan
+        self._mask64 = plan.unpack_flat(system.pc.mask, jnp.float64)
+        self._norm = jax.jit(jnp.linalg.norm)
 
-    def _resid(self, u64, b64):
-        r = (b64 - self.op64(u64)) * self._mask64
-        return r, float(jnp.linalg.norm(r))
+    def _resid(self, u64f, b64f):
+        r = (b64f - self.op64(u64f)) * self._mask64
+        return r, float(self._norm(r))
 
     def solve(self, b, tol_rel: float = 1e-6, inner_tol: float = 5e-3,
               inner_max_iter: int = 1500, every: int = 500,
               max_cycles: int = 10, progress=None):
-        """b [N, 3] -> (u [N, 3] f64, RefineInfo)."""
-        b64 = jnp.asarray(np.asarray(b), jnp.float64) * self._mask64
-        bn = float(jnp.linalg.norm(b64))
-        u64 = jnp.zeros_like(b64)
+        """b [N, 3] or flat [N*3] -> (u flat [N*3] f64, RefineInfo)."""
+        plan = self.plan
+        b64f = (jnp.asarray(np.asarray(b).reshape(-1), jnp.float64)
+                * self._mask64)
+        bn = float(self._norm(b64f))
+        u64f = jnp.zeros_like(b64f)
         hist = []
         inner_total = 0
         cycles = 0
         for cycle in range(max_cycles):
-            r64, rn = self._resid(u64, b64)
+            r64f, rn = self._resid(u64f, b64f)
             hist.append(rn)
             if progress is not None:
                 progress(cycle, inner_total, rn / bn)
             if rn <= tol_rel * bn or rn == 0.0:
                 break
             cycles = cycle + 1
-            # normalized correction solve: RHS r/||r|| has unit norm, so
-            # the inner (absolute) tolerance is the same python float in
-            # every cycle — one compiled program for the whole refinement
-            d, info = self.system.solve_chunked(
-                (r64 / rn).astype(jnp.float32), tol=inner_tol,
-                max_iter=inner_max_iter, every=every)
+            # normalized correction solve in the PACKED layout: RHS
+            # r/||r|| has unit norm, so the inner (absolute) tolerance is
+            # the same python float in every cycle — one compiled inner
+            # program serves the whole refinement
+            bX = plan.pack_flat(r64f / rn, jnp.float32)
+            dX, info = self.system.solve_chunked_packed(
+                bX, tol=inner_tol, max_iter=inner_max_iter, every=every)
             inner_total += int(info.iterations)
-            u64 = u64 + rn * jnp.asarray(d, jnp.float64)
+            u64f = u64f + rn * plan.unpack_flat(dX, jnp.float64)
         else:
-            _, rn = self._resid(u64, b64)
+            _, rn = self._resid(u64f, b64f)
             hist.append(rn)
         rn = hist[-1]
-        return u64, RefineInfo(bool(rn <= tol_rel * bn), cycles,
-                               inner_total, rn, rn / bn,
-                               np.asarray(hist))
+        return u64f, RefineInfo(bool(rn <= tol_rel * bn), cycles,
+                                inner_total, rn, rn / bn,
+                                np.asarray(hist))
