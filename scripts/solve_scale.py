@@ -65,7 +65,9 @@ def main():
     fixed = meshgen.boundary_nodes(sc, 2, 0.0)
     top = meshgen.boundary_nodes(sc, 2, 1.0)
     sys_ = PackedSystem(op, fixed_nodes=fixed, precondition=precond)
-    ref = RefinedSystem(sys_, sc, scn, "c3d10", 200e9, 0.3)
+    ref = RefinedSystem(sys_, sc, scn, "c3d10", 200e9, 0.3,
+                        cache_path=os.path.join(cdir, "refine_geom.npz")
+                        if os.path.isdir(cdir) else None)
     t_setup = time.time() - t00
     print(f"setup (cache load + operators): {t_setup:.1f}s", flush=True)
 
@@ -73,11 +75,14 @@ def main():
     b[top, 2] = -1e3
     bnorm = float(np.linalg.norm(b))
 
-    # warm: compile + lazy plan transfer (2-iter chunk program)
+    # warm: AOT-compile the chunked solver (no execution, no extra
+    # buffers — a 2-iteration plain solve OOM'd at 10.11M on top of the
+    # refinement residency), then one SpMV apply to complete the lazy
+    # plan/geometry transfers
     t0 = time.time()
     sys_.warm_chunked(b, tol=inner_tol, every=every)
-    _, wi = sys_.solve(b, tol=0.0, max_iter=2)
-    float(wi.residual_norm)
+    X0 = jnp.asarray(op.plan.pack_np(np.zeros((N, 3), np.float32)))
+    float(jax.jit(lambda o, x: jnp.sum(o(x)))(op, X0))
     print(f"warmup (transfer+compile): {time.time() - t0:.1f}s", flush=True)
 
     t0 = time.time()

@@ -52,7 +52,8 @@ class _PlanarF64Op:
     """Chunked planar f64 matvec u[N,3] -> F[N,3] (geometry-factor)."""
 
     def __init__(self, coords, conn, etype: str, E: float, nu: float,
-                 chunk_elems: int = 1_000_000, geometry_dtype=jnp.float32):
+                 chunk_elems: int = 1_000_000, geometry_dtype=jnp.float32,
+                 cache_path=None):
         from ..core.materials import lame_parameters
         from ..elements.tables import element_table
 
@@ -69,13 +70,38 @@ class _PlanarF64Op:
         M, k = conn.shape
         self.k = k
         q = len(self.w)
-        # per-chunk planar geometry: Jinv [q][3][3] and W [q] flat [Mc]
-        # f64 device vectors, computed on host in f64 numpy (exact, no
-        # device temps at all) and shipped once
+        # per-chunk planar geometry: Jinv [qJ][3][3] and W [q] flat [Mc]
+        # vectors, computed on host in f64 numpy (exact, no device temps)
+        # and shipped once.  cache_path: optional .npz caching the planar
+        # host arrays (the einsum+adjugate pass costs minutes at 10M
+        # elements under page-fault weather).
+        import os
+        cached = None
+        if cache_path and os.path.exists(cache_path):
+            try:
+                cached = np.load(cache_path)
+                if int(cached["chunk_elems"]) != chunk_elems:
+                    cached = None
+            except Exception:
+                cached = None
         self.chunks = []
-        for c0 in range(0, M, chunk_elems):
+        save_blobs = {"chunk_elems": np.asarray(chunk_elems)}
+        for ci, c0 in enumerate(range(0, M, chunk_elems)):
             cc = conn[c0:c0 + chunk_elems]
             Mc = cc.shape[0]
+            if cached is not None:
+                Jp = cached[f"J{ci}"]               # [qJ, 3, 3, Mc]
+                Wp = cached[f"W{ci}"]               # [q, Mc]
+                self.chunks.append((
+                    jnp.asarray(cc.astype(np.int32)),
+                    tuple(tuple(tuple(jnp.asarray(Jp[qi, i, j],
+                                                  geometry_dtype)
+                                      for j in range(3)) for i in range(3))
+                          for qi in range(Jp.shape[0])),
+                    tuple(jnp.asarray(Wp[qi], geometry_dtype)
+                          for qi in range(Wp.shape[0])),
+                ))
+                continue
             Xk = coords64[cc]                       # [Mc, k, 3] host
             dNa = np.asarray(table.dN, np.float64)  # [q, k, 3]
             J = np.einsum("qka,mkb->mqab", dNa, Xk)
@@ -110,17 +136,26 @@ class _PlanarF64Op:
             spreadJ = (np.abs(Jinv - Jinv[:, :1]).max()
                        / max(np.abs(Jinv).max(), 1e-300))
             qJ = 1 if spreadJ < 1e-12 else q
+            gnp = np.dtype(jnp.dtype(geometry_dtype).name)
+            Jp = np.ascontiguousarray(
+                Jinv[:, :qJ].transpose(1, 2, 3, 0)).astype(gnp)
+            Wp = np.ascontiguousarray(W.T).astype(gnp)
+            if cache_path:
+                save_blobs[f"J{ci}"] = Jp
+                save_blobs[f"W{ci}"] = Wp
             self.chunks.append((
                 jnp.asarray(cc.astype(np.int32)),
-                tuple(tuple(tuple(jnp.asarray(
-                    np.ascontiguousarray(Jinv[:, qi, i, j]),
-                    geometry_dtype)
-                    for j in range(3)) for i in range(3))
-                    for qi in range(qJ)),
-                tuple(jnp.asarray(np.ascontiguousarray(W[:, qi]),
-                                  geometry_dtype)
+                tuple(tuple(tuple(jnp.asarray(Jp[qi, i, j], geometry_dtype)
+                                  for j in range(3)) for i in range(3))
+                      for qi in range(qJ)),
+                tuple(jnp.asarray(Wp[qi], geometry_dtype)
                       for qi in range(q)),
             ))
+        if cache_path and cached is None:
+            try:
+                np.savez(cache_path, **save_blobs)
+            except Exception:
+                pass
 
         ndof = self.N * 3
         dN, wq, lam, mu = self.dN, self.w, self.lam, self.mu
@@ -198,7 +233,7 @@ class RefinedSystem:
 
     def __init__(self, system, coords, conn, etype: str, E: float,
                  nu: float, chunk_elems: int = 1_000_000,
-                 geometry_dtype=jnp.float32):
+                 geometry_dtype=jnp.float32, cache_path=None):
         if not jax.config.jax_enable_x64:
             raise RuntimeError(
                 "RefinedSystem needs x64 enabled for the f64 outer loop "
@@ -206,7 +241,8 @@ class RefinedSystem:
                 "building any operators)")
         self.system = system
         self.op64 = _PlanarF64Op(coords, conn, etype, E, nu,
-                                 chunk_elems, geometry_dtype)
+                                 chunk_elems, geometry_dtype,
+                                 cache_path=cache_path)
         plan = system.op.plan
         self.plan = plan
         self._mask64 = plan.unpack_flat(system.pc.mask, jnp.float64)
