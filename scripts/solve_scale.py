@@ -31,8 +31,11 @@ def main():
     precond = sys.argv[2] if len(sys.argv) > 2 else "block"
     tol_rel = float(sys.argv[3]) if len(sys.argv) > 3 else 1e-6
     inner_tol = float(os.environ.get("SOLVE_INNER_TOL", "5e-3"))
-    inner_max = int(os.environ.get("SOLVE_INNER_MAX", "1500"))
-    every = int(os.environ.get("SOLVE_EVERY", "500"))
+    # 500-iteration chunks are stable at 5.14M but a ~90 s single
+    # execution at 10.11M crashed the TPU worker twice; 250 is stable
+    every = int(os.environ.get("SOLVE_EVERY", "250" if n >= 100 else "500"))
+    inner_max = int(os.environ.get("SOLVE_INNER_MAX",
+                                   "2000" if n >= 100 else "1500"))
 
     import jax
     jax.config.update("jax_enable_x64", True)   # f64 outer loop

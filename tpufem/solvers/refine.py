@@ -90,17 +90,9 @@ class _PlanarF64Op:
             cc = conn[c0:c0 + chunk_elems]
             Mc = cc.shape[0]
             if cached is not None:
-                Jp = cached[f"J{ci}"]               # [qJ, 3, 3, Mc]
-                Wp = cached[f"W{ci}"]               # [q, Mc]
-                self.chunks.append((
-                    jnp.asarray(cc.astype(np.int32)),
-                    tuple(tuple(tuple(jnp.asarray(Jp[qi, i, j],
-                                                  geometry_dtype)
-                                      for j in range(3)) for i in range(3))
-                          for qi in range(Jp.shape[0])),
-                    tuple(jnp.asarray(Wp[qi], geometry_dtype)
-                          for qi in range(Wp.shape[0])),
-                ))
+                self.chunks.append((cc.astype(np.int32),
+                                    np.asarray(cached[f"J{ci}"]),
+                                    np.asarray(cached[f"W{ci}"])))
                 continue
             Xk = coords64[cc]                       # [Mc, k, 3] host
             dNa = np.asarray(table.dN, np.float64)  # [q, k, 3]
@@ -143,14 +135,7 @@ class _PlanarF64Op:
             if cache_path:
                 save_blobs[f"J{ci}"] = Jp
                 save_blobs[f"W{ci}"] = Wp
-            self.chunks.append((
-                jnp.asarray(cc.astype(np.int32)),
-                tuple(tuple(tuple(jnp.asarray(Jp[qi, i, j], geometry_dtype)
-                                  for j in range(3)) for i in range(3))
-                      for qi in range(qJ)),
-                tuple(jnp.asarray(Wp[qi], geometry_dtype)
-                      for qi in range(q)),
-            ))
+            self.chunks.append((cc.astype(np.int32), Jp, Wp))
         if cache_path and cached is None:
             try:
                 np.savez(cache_path, **save_blobs)
@@ -214,9 +199,19 @@ class _PlanarF64Op:
         self._chunk_force = chunk_force
 
     def __call__(self, u64f):
-        """Flat [N*3] f64 field -> flat [N*3] f64 forces."""
+        """Flat [N*3] f64 field -> flat [N*3] f64 forces.
+
+        Chunks live on HOST and stream to the device per apply (~17 s of
+        upload per outer residual at 10M elements) — keeping them
+        resident pushed the 10.11M refinement past the 16 GB HBM budget
+        on top of the plan + inner-solver state."""
         F = None
-        for conn_c, Jinv, W in self.chunks:
+        for cc, Jp, Wp in self.chunks:
+            conn_c = jnp.asarray(cc)
+            Jinv = tuple(tuple(tuple(jnp.asarray(Jp[qi, i, j])
+                                     for j in range(3)) for i in range(3))
+                         for qi in range(Jp.shape[0]))
+            W = tuple(jnp.asarray(Wp[qi]) for qi in range(Wp.shape[0]))
             Fc = self._chunk_force(u64f, conn_c, Jinv, W)
             F = Fc if F is None else F + Fc
         return F
@@ -245,27 +240,44 @@ class RefinedSystem:
                                  cache_path=cache_path)
         plan = system.op.plan
         self.plan = plan
-        self._mask64 = plan.unpack_flat(system.pc.mask, jnp.float64)
+        # HBM frugality at 10M+: mask as BOOL [ndof] (41 MB, not a 654 MB
+        # f64-emulated field), b kept f32 (its values are exact in f32)
+        self._mask = plan.unpack_flat(system.pc.mask,
+                                      jnp.float32) > 0
         self._norm = jax.jit(jnp.linalg.norm)
 
-    def _resid(self, u64f, b64f):
-        r = (b64f - self.op64(u64f)) * self._mask64
-        return r, float(self._norm(r))
+        @jax.jit
+        def finish(F, b32, mask):
+            r = jnp.where(mask, b32.astype(F.dtype) - F, 0.0)
+            rn = jnp.linalg.norm(r)
+            # pack the NORMALIZED f32 correction RHS in the same program
+            # (the f64 residual never persists outside it)
+            bX = plan.pack_flat(r / rn, jnp.float32)
+            return rn, bX
+
+        self._finish = finish
+
+    def _resid(self, u64f, b32f):
+        F = self.op64(u64f)
+        rn, bX = self._finish(F, b32f, self._mask)
+        return rn, bX
 
     def solve(self, b, tol_rel: float = 1e-6, inner_tol: float = 5e-3,
               inner_max_iter: int = 1500, every: int = 500,
               max_cycles: int = 10, progress=None):
         """b [N, 3] or flat [N*3] -> (u flat [N*3] f64, RefineInfo)."""
         plan = self.plan
-        b64f = (jnp.asarray(np.asarray(b).reshape(-1), jnp.float64)
-                * self._mask64)
-        bn = float(self._norm(b64f))
-        u64f = jnp.zeros_like(b64f)
+        b32f = jnp.where(self._mask,
+                         jnp.asarray(np.asarray(b).reshape(-1),
+                                     jnp.float32), 0.0)
+        bn = float(self._norm(b32f.astype(jnp.float64)))
+        u64f = jnp.zeros((b32f.shape[0],), jnp.float64)
         hist = []
         inner_total = 0
         cycles = 0
         for cycle in range(max_cycles):
-            r64f, rn = self._resid(u64f, b64f)
+            rn_j, bX = self._resid(u64f, b32f)
+            rn = float(rn_j)
             hist.append(rn)
             if progress is not None:
                 progress(cycle, inner_total, rn / bn)
@@ -275,14 +287,15 @@ class RefinedSystem:
             # normalized correction solve in the PACKED layout: RHS
             # r/||r|| has unit norm, so the inner (absolute) tolerance is
             # the same python float in every cycle — one compiled inner
-            # program serves the whole refinement
-            bX = plan.pack_flat(r64f / rn, jnp.float32)
+            # program serves the whole refinement.  No f64 residual field
+            # stays live across the inner solve.
             dX, info = self.system.solve_chunked_packed(
                 bX, tol=inner_tol, max_iter=inner_max_iter, every=every)
             inner_total += int(info.iterations)
             u64f = u64f + rn * plan.unpack_flat(dX, jnp.float64)
         else:
-            _, rn = self._resid(u64f, b64f)
+            rn_j, _ = self._resid(u64f, b32f)
+            rn = float(rn_j)
             hist.append(rn)
         rn = hist[-1]
         return u64f, RefineInfo(bool(rn <= tol_rel * bn), cycles,
