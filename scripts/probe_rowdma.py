@@ -55,13 +55,15 @@ def main():
         @jax.jit
         def f(s, ix):
             def body(i, acc):
-                return acc + jnp.sum(s[ix], dtype=jnp.float32) * (1.0 + 1e-9 * i)
+                # loop-dependent indices so XLA cannot hoist the gather
+                return acc + jnp.sum(s[(ix + i) % s.shape[0]],
+                                     dtype=jnp.float32)
             return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
         return f
 
     t_lo = timeit(mk_take(2), src, idx)
-    t_hi = timeit(mk_take(8), src, idx)
-    t_take = (t_hi - t_lo) / 6
+    t_hi = timeit(mk_take(22), src, idx)
+    t_take = max((t_hi - t_lo) / 20, 1e-9)
     print(f"XLA take: {t_take * 1e3:.2f} ms / {n_rd} rows = "
           f"{n_rd / t_take / 1e6:.1f} M rows/s "
           f"({n_rd * ROW * 4 / t_take / 1e9:.0f} GB/s)", flush=True)
@@ -71,16 +73,18 @@ def main():
     TR, K = 128, 8
 
     def kern(idx_ref, src_ref, out_ref, scratch, sems):
+        base = pl.program_id(0) * TR
+
         def start(r):
             pltpu.make_async_copy(
-                src_ref.at[pl.ds(idx_ref[r], 1), :],
+                src_ref.at[pl.ds(idx_ref[base + r], 1)],
                 scratch.at[r % K], sems.at[r % K]).start()
         for r in range(K):
             start(r)
         acc = jnp.zeros((1, ROW), jnp.float32)
         for r in range(TR):
             pltpu.make_async_copy(
-                src_ref.at[pl.ds(idx_ref[r], 1), :],
+                src_ref.at[pl.ds(idx_ref[base + r], 1)],
                 scratch.at[r % K], sems.at[r % K]).wait()
             acc = acc + scratch[r % K]
             if r + K < TR:
@@ -93,17 +97,16 @@ def main():
     def f_dma(s, ix):
         out = pl.pallas_call(
             kern,
-            grid=(grid,),
-            in_specs=[
-                pl.BlockSpec((TR,), lambda i: (i,),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-            ],
-            out_specs=pl.BlockSpec((None, ROW), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(grid,),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+                out_specs=pl.BlockSpec((None, 1, ROW),
+                                       lambda i, ix_ref: (i, 0, 0)),
+                scratch_shapes=[pltpu.VMEM((K, 1, ROW), jnp.float32),
+                                pltpu.SemaphoreType.DMA((K,))],
+            ),
             out_shape=jax.ShapeDtypeStruct((grid, 1, ROW), jnp.float32),
-            scratch_shapes=[pltpu.VMEM((K, 1, ROW), jnp.float32),
-                            pltpu.SemaphoreType.DMA((K,))],
         )(ix, s)
         return jnp.sum(out[:, 0, 0])
 
