@@ -174,16 +174,32 @@ def b_matrix_from_gradients(g):
 
 def stiffness(coords, conn, etype: str, E: float, nu: float,
               rule: str = "default", table: Optional[ElementTable] = None,
-              dtype=None):
+              dtype=None, fused: Optional[bool] = None):
     """Element stiffness K[M, 3k, 3k] — isotropic.
 
     Capability parity with reference compute_*_K_matrix
-    (solver/element.py:883, 1191, 1754, 2140, 2631).  Routes to the
-    lane-packed B^T D B pipeline: measured on v5e the batched
-    [3k, 6q] @ [6q, 3k] GEMM is the best MXU mapping (4.4M c3d10
-    elements/s); the 7x-fewer-FLOP closed form (stiffness_isotropic)
-    loses 2.4x to its stride-3 slice updates on this hardware.
+    (solver/element.py:883, 1191, 1754, 2140, 2631).  On TPU, k <= 10
+    element types route to the fused Pallas planar kernel
+    (ops.stiffness_kernels.stiffness_fused: J -> g -> closed-form
+    K in VMEM; measured 14.4M vs 4.4M c3d10 elements/s = 3.25x at 83k
+    on v5e, parity 1.8e-5 rel vs the einsum path in f32, exact in the
+    f64 interpret tests).  Elsewhere (CPU tests, c3d15/c3d20 whose
+    [9 k^2, tile] accumulators exceed VMEM, custom rules) the
+    lane-packed B^T D B GEMM pipeline; the 7x-fewer-FLOP
+    stiffness_isotropic closed form in XLA loses 2.4x to stride-3 slice
+    updates and stays a cross-check.
     """
+    if fused is None:
+        try:    # committed arrays pin the platform (the hybrid builder
+            plat = list(coords.devices())[0].platform   # runs CPU-placed)
+        except Exception:
+            plat = jax.default_backend()
+        fused = (plat == "tpu" and rule == "default" and table is None
+                 and element_table(etype, rule).dN.shape[1] <= 10)
+    if fused:
+        from ..ops.stiffness_kernels import stiffness_fused
+        return stiffness_fused(coords, conn, etype, E, nu, rule=rule,
+                               dtype=dtype)
     return stiffness_bmat(coords, conn, etype, elasticity_matrix(E, nu),
                           rule=rule, table=table, dtype=dtype)
 
