@@ -239,3 +239,47 @@ def _direct_scaled(coords, conn, fixed, b):
     u = np.zeros(N * 3)
     u[mask] = spla.spsolve(A[mask][:, mask].tocsc(), b.reshape(-1)[mask])
     return u.reshape(N, 3)
+
+
+def test_hybrid_slim_jacobi_matches():
+    """jacobi + slim + interior_inverse + matrix_free_gg (the 1M-element
+    single-chip config-4 memory configuration: no dense K_GG, no Schur
+    blocks, no NN/BDD S_p^-1 — resident blocks are K_II^-1 and K_IG
+    only) == the plain jacobi dense path."""
+    import jax.numpy as jnp
+    from tpufem.solvers.hybrid import build_hybrid
+    from tpufem.utils import meshgen
+    coords, conn = meshgen.box_tet(4, 4, 4)
+    fixed = meshgen.boundary_nodes(coords, 2, 0.0)
+    N = coords.shape[0]
+    b = np.zeros((N, 3))
+    b[meshgen.boundary_nodes(coords, 2, 1.0), 0] = 1e3
+    b[np.asarray(fixed)] = 0.0
+    kw = dict(fixed_nodes=fixed, seed=0, precondition="jacobi")
+    s1 = build_hybrid(coords, conn, "c3d4", 200e9, 0.3, 4, **kw)
+    s2 = build_hybrid(coords, conn, "c3d4", 200e9, 0.3, 4, slim=True,
+                      interior_inverse=True, matrix_free_gg=True, **kw)
+    assert s2.mf_op is not None and s2.Kinv is not None
+    assert s2.Sinv is None                       # still the Jacobi M
+    assert s2.K_GG.shape[-1] == 1                # slim placeholder
+    assert s2.chol.shape[-1] == 1                # factor released
+    rng = np.random.default_rng(0)
+    v = jnp.asarray(rng.standard_normal((int(s1.g_nodes.shape[0]), 3)))
+    np.testing.assert_allclose(np.asarray(s2.schur_matvec(v)),
+                               np.asarray(s1.schur_matvec(v)), rtol=1e-9,
+                               atol=1e-10)
+    u1, i1 = s1.solve(jnp.asarray(b), tol=1e-8, max_iter=400)
+    u2, i2 = s2.solve(jnp.asarray(b), tol=1e-8, max_iter=400)
+    assert int(i1.status) == 1 and int(i2.status) == 1
+    np.testing.assert_allclose(np.asarray(u2), np.asarray(u1), rtol=1e-6,
+                               atol=1e-8 * np.abs(np.asarray(u1)).max())
+
+
+def test_hybrid_slim_jacobi_requires_mf():
+    from tpufem.solvers.hybrid import build_hybrid
+    from tpufem.utils import meshgen
+    import pytest
+    coords, conn = meshgen.box_tet(2, 2, 2)
+    with pytest.raises(ValueError, match="matrix_free_gg"):
+        build_hybrid(coords, conn, "c3d4", 200e9, 0.3, 2,
+                     precondition="jacobi", slim=True)

@@ -284,13 +284,11 @@ def build_hybrid(coords, conn, etype: str, E: float, nu: float,
     from .constraints import Constraints  # noqa: F401 (schema reference)
     from ..parallel.partition import partition_elements
 
-    if precondition == "jacobi" and (slim or interior_inverse
-                                     or matrix_free_gg):
+    if precondition == "jacobi" and slim and not matrix_free_gg:
         raise ValueError(
-            "slim/interior_inverse/matrix_free_gg require precondition="
-            "'nn' or 'bdd'; with precondition='jacobi' the solve runs the "
-            "full dense K_GG + Cholesky system and those flags would be "
-            "silently ignored")
+            "slim with precondition='jacobi' requires matrix_free_gg=True: "
+            "the Jacobi-path Schur matvec reads the dense K_GG blocks "
+            "unless the matrix-free interface action replaces them")
 
     conn_np = np.asarray(conn)
     coords_np = np.asarray(jax.device_get(coords))
@@ -426,6 +424,35 @@ def build_hybrid(coords, conn, etype: str, E: float, nu: float,
         scat_perm=jnp.asarray(perm), scat_seg=jnp.asarray(seg),
         Minv_G=jnp.asarray(Minv_G), meta=meta)
     if precondition == "jacobi":
+        # The memory-slim flags are honored here too (ADVICE r4 asked for
+        # the guard OR the honoring; 1M-element config 4 on one 16 GB chip
+        # NEEDS jacobi + slim + interior_inverse + matrix_free_gg: the
+        # NN/BDD preconditioner's explicit S_p^-1 blocks alone are 5.4 GB
+        # at 512 parts — PERFORMANCE.md "config-4 hybrid at 1M").
+        if interior_inverse:
+            @jax.jit
+            def _inv_chol_j(Lc):
+                eye = jnp.eye(Lc.shape[-1], dtype=Lc.dtype)[None]
+                return HybridSystem._chol_solve(
+                    Lc, jnp.broadcast_to(eye, Lc.shape))
+
+            chi_b = 2 * (3 * nI_max) ** 2 * np.dtype(fdtype).itemsize
+            CHI = max(1, min(P_, int((1536 << 20) // max(chi_b, 1))))
+            kiv = [_inv_chol_j(sys_.chol[p0:min(p0 + CHI, P_)])
+                   for p0 in range(0, P_, CHI)]
+            sys_ = dataclasses.replace(
+                sys_, chol=jnp.zeros((P_, 1, 1), fdtype),
+                Kinv=jnp.concatenate(kiv, axis=0))
+        if matrix_free_gg:
+            from ..ops.partial import PartialAssemblyOperator
+            sys_ = dataclasses.replace(
+                sys_,
+                mf_op=PartialAssemblyOperator.build(
+                    jnp.asarray(coords_np, fdtype), conn_np, etype, E, nu,
+                    dtype=fdtype, n_nodes=N),
+                mf_free=jnp.asarray(
+                    np.repeat(~fixed_mask_node, 3).reshape(N, 3)
+                    .astype(fdtype)))
         return sys_
 
     # ---- Neumann-Neumann (+ coarse) interface preconditioner ----------
