@@ -73,8 +73,10 @@ def main():
     b = np.zeros((N, 3), np.float32)
     b[meshgen.boundary_nodes(coords, 2, 1.0), 0] = 1e3
     bj = jnp.asarray(b).at[jnp.asarray(fixed)].set(0.0)
+    tol = float(os.environ.get("HYBRID_TOL", "1e-4"))
+    max_iter = int(os.environ.get("HYBRID_MAXIT", "800"))
     t0 = time.time()
-    solve = jax.jit(lambda sy, f: sy.solve(f, tol=1e-4, max_iter=800))
+    solve = jax.jit(lambda sy, f: sy.solve(f, tol=tol, max_iter=max_iter))
     u, info = solve(sys_, bj)
     rn = float(info.residual_norm)
     t_solve1 = time.time() - t0
@@ -85,6 +87,30 @@ def main():
     print(f"solve: compile+run {t_solve1:.1f}s, warm {t_solve:.2f}s, "
           f"interface-CG iters={int(info.iterations)} status="
           f"{int(info.status)} ||r_S||={rn:.3e}", flush=True)
+
+    ref = os.environ.get("HYBRID_REF", "1")
+    if ref == "0":
+        return
+    if ref == "packed":
+        # at 1M elements the ScatterPlan reference would need a multi-
+        # minute single execution (worker-watchdog risk); the flagship
+        # packed operator + chunked PCG is the safe monolithic reference
+        from tpufem.ops.packed import PackedPartialOperator, PackedSystem
+        pop = PackedPartialOperator.build(coords, conn, "c3d4", 200e9, 0.3,
+                                          n_nodes=N)
+        psys = PackedSystem(pop, fixed_nodes=fixed)
+        nb = float(np.linalg.norm(np.asarray(b, np.float64)))
+        tol_rel = float(os.environ.get("HYBRID_REF_TOLREL", "1e-5"))
+        u_ref, info_ref = psys.solve_chunked(
+            jnp.asarray(b), tol=tol_rel * nb,
+            max_iter=int(os.environ.get("HYBRID_REF_MAXIT", "20000")),
+            every=500)
+        ur = np.asarray(u_ref)
+        err = np.abs(np.asarray(u) - ur).max() / np.abs(ur).max()
+        print(f"vs packed PCG ({int(info_ref.iterations)} iters, status "
+              f"{int(info_ref.status)}): rel displacement diff {err:.2e}",
+              flush=True)
+        return
 
     # reference: matrix-free PCG
     K = solid.stiffness(jnp.asarray(coords, jnp.float32), jnp.asarray(conn),
