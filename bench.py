@@ -96,6 +96,25 @@ def _cinc_bytes(meta) -> int:
                for gi, (_, n, _) in enumerate(meta.c_groups))
 
 
+def _min_bytes(op) -> int:
+    """Minimal HBM bytes one packed-operator apply must move (geometry
+    stream + window-gathered X rows + Yc twice + F out + int streams) —
+    the denominator of the roofline honesty metric."""
+    m = op.plan.meta
+    if op.flags.fuse:      # cluster-major geometry [B, qJ*9, E_c]/[B, q, E_c]
+        qJ, q = op.Jinv.shape[1] // 9, op.W.shape[1]
+    else:
+        qJ, q = op.Jinv.shape[0], op.W.shape[0]
+    cw = sum(nn * wk for (_, nn, wk) in m.c_groups)  # bucketed window rows
+    bw = sum(nn * wk for (_, nn, wk) in m.b_groups)
+    return (m.n_clusters * m.elems_per_cluster * (qJ * 9 + q) * 4
+            + (cw + 2 * m.n_clusters) * 1536
+            + (bw + m.n_blocks) * 1536
+            + sum(nn * -(-wk // 4) for (_, nn, wk) in m.b_groups)
+            * 512                     # slotidx byte-packed int32 stream
+            + _cinc_bytes(m))                  # packed incidence stream
+
+
 # fingerprint of every build default the cached plan/geometry depend on —
 # a default change invalidates the cache instead of silently benchmarking
 # a stale configuration (ADVICE r4)
@@ -192,6 +211,7 @@ def _scale_block(ns: int, full: bool) -> dict:
         "elements": sM, "nodes": sN,
         "spmv_nnz_per_s": sM * (3 * sk) ** 2 / st,
         "spmv_seconds": st,
+        "roofline_fraction": (_min_bytes(sop) / st) / 897e9,
         "mesh_seconds": t_mesh,
         "cache_load_seconds": t_load,
         "plan_build_seconds": t_plan,
@@ -292,22 +312,7 @@ def main():
     X0 = jnp.asarray(op.plan.pack_np(u0))
     t_spmv = _slope(make_spmv, (op, X0), lo=5, hi=105)
     nnz_per_s = nnz / t_spmv
-    # roofline honesty: minimal HBM bytes the operator must move per apply
-    # (geometry stream + window-gathered X rows + Yc twice + F out)
-    m = op.plan.meta
-    if op.flags.fuse:      # cluster-major geometry [B, qJ*9, E_c]/[B, q, E_c]
-        qJ, q = op.Jinv.shape[1] // 9, op.W.shape[1]
-    else:
-        qJ, q = op.Jinv.shape[0], op.W.shape[0]
-    cw = sum(nn * wk for (_, nn, wk) in m.c_groups)  # bucketed window rows
-    bw = sum(nn * wk for (_, nn, wk) in m.b_groups)
-    bytes_min = (m.n_clusters * m.elems_per_cluster * (qJ * 9 + q) * 4
-                 + (cw + 2 * m.n_clusters) * 1536
-                 + (bw + m.n_blocks) * 1536
-                 + sum(nn * -(-wk // 4) for (_, nn, wk) in m.b_groups)
-                 * 512                    # slotidx byte-packed int32 stream
-                 + _cinc_bytes(m))                 # packed incidence stream
-    roofline_fraction = (bytes_min / t_spmv) / 897e9
+    roofline_fraction = (_min_bytes(op) / t_spmv) / 897e9
 
     # --- packed PCG iterations/s ----------------------------------------
     fixed = meshgen.boundary_nodes(coords, 2, 0.0)

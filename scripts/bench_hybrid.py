@@ -75,13 +75,20 @@ def main():
     bj = jnp.asarray(b).at[jnp.asarray(fixed)].set(0.0)
     tol = float(os.environ.get("HYBRID_TOL", "1e-4"))
     max_iter = int(os.environ.get("HYBRID_MAXIT", "800"))
+    every = int(os.environ.get("HYBRID_EVERY", "400"))
     t0 = time.time()
-    solve = jax.jit(lambda sy, f: sy.solve(f, tol=tol, max_iter=max_iter))
-    u, info = solve(sys_, bj)
+    # chunked: no single XLA execution beyond `every` interface-CG
+    # iterations (a 2500-iteration one-shot at 1M/512 crashed the worker)
+    u, info = sys_.solve_chunked(bj, tol=tol, max_iter=max_iter,
+                                 every=every,
+                                 progress=lambda d, rn_: print(
+                                     f"  iface-CG {d}: ||r||={rn_:.3e}",
+                                     flush=True))
     rn = float(info.residual_norm)
     t_solve1 = time.time() - t0
     t0 = time.time()
-    u, info = solve(sys_, bj)
+    u, info = sys_.solve_chunked(bj, tol=tol, max_iter=max_iter,
+                                 every=every)
     float(info.residual_norm)
     t_solve = time.time() - t0
     print(f"solve: compile+run {t_solve1:.1f}s, warm {t_solve:.2f}s, "

@@ -283,3 +283,28 @@ def test_hybrid_slim_jacobi_requires_mf():
     with pytest.raises(ValueError, match="matrix_free_gg"):
         build_hybrid(coords, conn, "c3d4", 200e9, 0.3, 2,
                      precondition="jacobi", slim=True)
+
+
+def test_hybrid_solve_chunked_matches():
+    """Chunked interface CG (exact resume continuation) == one-shot
+    solve() — same converged solution from bounded-length programs."""
+    import jax.numpy as jnp
+    from tpufem.solvers.hybrid import build_hybrid
+    from tpufem.utils import meshgen
+    coords, conn = meshgen.box_tet(4, 4, 4)
+    fixed = meshgen.boundary_nodes(coords, 2, 0.0)
+    N = coords.shape[0]
+    b = np.zeros((N, 3))
+    b[meshgen.boundary_nodes(coords, 2, 1.0), 0] = 1e3
+    b[np.asarray(fixed)] = 0.0
+    sys_ = build_hybrid(coords, conn, "c3d4", 200e9, 0.3, 4,
+                        fixed_nodes=fixed, seed=0, precondition="jacobi")
+    u1, i1 = sys_.solve(jnp.asarray(b), tol=1e-8, max_iter=400)
+    u2, i2 = sys_.solve_chunked(jnp.asarray(b), tol=1e-8, max_iter=400,
+                                every=7)
+    assert int(i1.status) == 1 and int(i2.status) == 1
+    # chunked restarts refresh the true residual, so iteration counts may
+    # differ by a few; the solutions must agree
+    assert abs(int(i2.iterations) - int(i1.iterations)) <= 10
+    np.testing.assert_allclose(np.asarray(u2), np.asarray(u1), rtol=1e-6,
+                               atol=1e-8 * np.abs(np.asarray(u1)).max())

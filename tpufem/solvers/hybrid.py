@@ -244,14 +244,64 @@ class HybridSystem:
         st = jnp.where(st == RUNNING, MAX_ITER, st)
 
         # interior back-substitution
-        vp = self._gather_iface(uG)
-        rhs = fIp - _xeinsum("pig,pg->pi", self.K_IG, vp)
-        uI = self._interior_solve(rhs).reshape(m.n_parts, -1, 3)
-        u = jnp.zeros_like(f)
-        u = u.at[self.imap].add(uI * self.imask[..., None])
-        u = u.at[self.g_nodes].set(uG)
+        u = self._backsub(fIp, f, uG)
         info = SolveInfo(st, i, jnp.sqrt(jnp.vdot(r, r).real), hist)
         return u, info
+
+    # -- chunked interface CG (north-star-scale safety) -----------------
+    def _condense(self, f):
+        """f [N, 3] -> (fIp [P, 3nI], interface RHS g [nGlob, 3])."""
+        fI = f[self.imap] * self.imask[..., None]
+        fIp = fI.reshape(self.meta.n_parts, -1)
+        y = self._interior_solve(fIp)
+        g = f[self.g_nodes] - self._scatter_iface(
+            _xeinsum("pig,pi->pg", self.K_IG, y))
+        return fIp, g
+
+    def _backsub(self, fIp, f, uG):
+        vp = self._gather_iface(uG)
+        rhs = fIp - _xeinsum("pig,pg->pi", self.K_IG, vp)
+        uI = self._interior_solve(rhs).reshape(self.meta.n_parts, -1, 3)
+        u = jnp.zeros_like(f)
+        u = u.at[self.imap].add(uI * self.imask[..., None])
+        return u.at[self.g_nodes].set(uG)
+
+    def solve_chunked(self, f, tol: float = 1e-10, max_iter: int = 20000,
+                      every: int = 400, progress=None):
+        """Interface PCG as a sequence of `every`-iteration device
+        programs with EXACT recurrence continuation (solvers.cg
+        resume_state) — identical trajectory to solve()'s single
+        while_loop, but no XLA execution runs longer than `every`
+        iterations.  Required at config-4 scale: a 2500-iteration
+        single execution at 1M elements / 512 parts crashed the TPU
+        worker watchdog (same failure mode as the monolithic
+        north-star solve, PERFORMANCE.md round 5)."""
+        from .cg import MAX_ITER, RUNNING, SolveInfo, cg
+
+        fIp, g = _h_condense(self, f)
+        uG = jnp.zeros_like(g)
+        pG = jnp.zeros_like(g)            # rz <= 0 -> fresh start
+        rz = jnp.asarray(-1.0, g.dtype)
+        tolj = jnp.asarray(tol, g.dtype)
+        hists, done, info = [], 0, None
+        while done < max_iter:
+            it = min(every, max_iter - done)
+            uG, info, (pG, rz) = _h_chunk(self, g, uG, pG, rz, tolj, it)
+            ni = int(info.iterations)     # host sync once per chunk
+            h = np.asarray(info.history)[:ni + 1]
+            hists.append(h if not hists else h[1:])
+            done += ni
+            if progress is not None:
+                progress(done, float(h[-1]) if h.size else float("nan"))
+            if int(info.status) != MAX_ITER or ni == 0:
+                break
+        status = jnp.where(jnp.equal(info.status, RUNNING), MAX_ITER,
+                           info.status)
+        u = _h_backsub(self, fIp, f, uG)
+        out = SolveInfo(status, jnp.asarray(done), info.residual_norm,
+                        np.concatenate(hists) if hists else
+                        np.asarray(info.history))
+        return u, out
 
 
 def build_hybrid(coords, conn, etype: str, E: float, nu: float,
@@ -616,6 +666,29 @@ def build_hybrid(coords, conn, etype: str, E: float, nu: float,
         Dw=jnp.asarray(Dw), gfree=jnp.asarray(gfree), Zloc=Zloc_j,
         Echol=Echol_j, mf_op=mf_op, mf_free=mf_free)
     # (Kinv, when requested, was already swapped in above)
+
+
+# module-level jitted helpers for HybridSystem.solve_chunked (the system
+# is a registered pytree dataclass, so jit caches by structure and the
+# big blocks are arguments, never baked-in constants)
+@jax.jit
+def _h_condense(sy, f):
+    return sy._condense(f)
+
+
+@jax.jit
+def _h_backsub(sy, fIp, f, uG):
+    return sy._backsub(fIp, f, uG)
+
+
+from functools import partial as _partial  # noqa: E402
+
+
+@_partial(jax.jit, static_argnames=("every",))
+def _h_chunk(sy, g, uG, pG, rz, tol, every):
+    from .cg import cg
+    return cg(sy.schur_matvec, g, M_inv=sy.apply_M, x0=uG, tol=tol,
+              max_iter=every, resume_state=(pG, rz), return_state=True)
 
 
 def hybrid_solve(coords, conn, etype, E, nu, f, n_parts, fixed_nodes=None,
