@@ -75,7 +75,22 @@ def main():
     bj = jnp.asarray(b).at[jnp.asarray(fixed)].set(0.0)
     tol = float(os.environ.get("HYBRID_TOL", "1e-4"))
     max_iter = int(os.environ.get("HYBRID_MAXIT", "800"))
-    every = int(os.environ.get("HYBRID_EVERY", "400"))
+    # probe one Schur matvec to size the chunk length (keep every chunk
+    # execution well under the TPU worker watchdog)
+    mv = jax.jit(lambda sy, v: jnp.sum(sy.schur_matvec(v)))
+    v0 = jnp.zeros((int(sys_.g_nodes.shape[0]), 3), jnp.float32
+                   ).at[0, 0].set(1.0)
+    t0 = time.time()
+    float(mv(sys_, v0))
+    t_mv_c = time.time() - t0
+    t0 = time.time()
+    float(mv(sys_, v0))
+    t_mv = time.time() - t0
+    print(f"schur_matvec: compile+1st {t_mv_c:.2f}s, warm {t_mv * 1e3:.1f}ms",
+          flush=True)
+    every = int(os.environ.get(
+        "HYBRID_EVERY", str(max(8, min(400, int(20.0 / max(t_mv, 1e-4)))))))
+    print(f"chunk length: {every}", flush=True)
     t0 = time.time()
     # chunked: no single XLA execution beyond `every` interface-CG
     # iterations (a 2500-iteration one-shot at 1M/512 crashed the worker)
